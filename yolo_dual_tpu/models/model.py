@@ -1,0 +1,243 @@
+"""Model wrappers: graph walker + Detection/Segmentation/Semantic/Classification.
+
+Capability parity with reference models/yolo.py:109-296 (BaseModel /
+DetectionModel / SegmentationModel / ClassificationModel). TPU-first notes:
+
+- `GraphModel` walks a static ModelSpec inside `nn.compact`; every layer's
+  output is kept in a Python list during tracing (XLA dead-code-eliminates
+  unused ones, so no savelist machinery is needed at runtime).
+- Strides are probed with `jax.eval_shape` (zero FLOPs) instead of a real
+  dummy forward (reference models/yolo.py:190-195).
+- Detect-head bias priors are applied as a functional param transform
+  (reference models/yolo.py:253-261 `_initialize_biases`).
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_dual_tpu.models.compiler import (
+    LayerSpec,
+    ModelSpec,
+    build_module,
+    parse_config,
+    with_strides,
+)
+from yolo_dual_tpu.utils.general import LOGGER, yaml_load
+
+Dtype = Any
+
+
+class GraphModel(nn.Module):
+    """Walks a compiled ModelSpec (reference BaseModel._forward_once,
+    models/yolo.py:114-125)."""
+
+    spec: ModelSpec
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, decode: Optional[bool] = None):
+        y = []
+        out = x
+        for layer in self.spec.layers:
+            f = layer.f
+            if isinstance(f, tuple):
+                inp = [out if j == -1 else y[j] for j in f]
+            elif f == -1:
+                inp = out
+            else:
+                inp = y[f]
+            if layer.name in ("Detect", "Segment"):
+                mod = build_module(layer.name, layer.kw(), self.dtype, f"model_{layer.i}")
+                out = mod(inp, train=train, decode=decode)
+            elif layer.n > 1:
+                out = inp
+                for r in range(layer.n):
+                    mod = build_module(layer.name, layer.kw(), self.dtype, f"model_{layer.i}_{r}")
+                    out = mod(out, train)
+            else:
+                mod = build_module(layer.name, layer.kw(), self.dtype, f"model_{layer.i}")
+                out = mod(inp, train)
+            y.append(out)
+        return out
+
+
+def _load_cfg(cfg) -> dict:
+    if isinstance(cfg, dict):
+        return dict(cfg)
+    return yaml_load(cfg)
+
+
+def _probe_strides(spec: ModelSpec, dtype=None) -> ModelSpec:
+    """Shape-probe the network at 256px to derive head strides
+    (reference models/yolo.py:190-197)."""
+    head = spec.layers[-1]
+    if head.name not in ("Detect", "Segment"):
+        return spec
+    model = GraphModel(spec, dtype)
+    s = 256
+    x = jax.ShapeDtypeStruct((1, s, s, spec.ch_in), jnp.float32)
+    vars_shapes = jax.eval_shape(lambda xx: model.init(jax.random.PRNGKey(0), xx, train=False), x)
+    shapes = jax.eval_shape(lambda v, xx: model.apply(v, xx, train=False, decode=False), vars_shapes, x)
+    # raw output: Detect -> [levels]; Segment -> ([levels], protos)
+    levels = shapes[0] if head.name == "Segment" else shapes
+    strides = [s // lvl.shape[2] for lvl in levels]  # lvl: (bs, na, ny, nx, no)
+    return with_strides(spec, strides)
+
+
+def initialize_detect_biases(variables, spec: ModelSpec, cf=None):
+    """Focal-style prior init of Detect conv biases (reference models/yolo.py:253-261)."""
+    head = spec.layers[-1]
+    if head.name not in ("Detect", "Segment"):
+        return variables
+    kw = head.kw()
+    nc = kw["nc"]
+    anchors = kw["anchors"]
+    strides = kw["strides"]
+    na = len(anchors[0]) // 2
+    params = variables["params"]
+    hname = f"model_{head.i}"
+    hparams = params[hname]["detect"] if head.name == "Segment" else params[hname]
+    for i, s in enumerate(strides):
+        b = np.array(hparams[f"m_{i}"]["bias"]).reshape(na, -1)
+        b[:, 4] += math.log(8 / (640 / s) ** 2)
+        if cf is None:
+            b[:, 5:5 + nc] += math.log(0.6 / (nc - 0.99999))
+        else:
+            b[:, 5:5 + nc] += np.log(cf / cf.sum())
+        hparams[f"m_{i}"]["bias"] = jnp.asarray(b.reshape(-1))
+    return variables
+
+
+class BaseModel:
+    """Holds a compiled spec + flax module; functional init/apply interface."""
+
+    task = "detect"
+
+    def __init__(self, cfg="yolov5s.yaml", ch: int = 3, nc: Optional[int] = None,
+                 anchors=None, dtype: Dtype = None, verbose: bool = False):
+        self.yaml = _load_cfg(cfg)
+        self.yaml_file = Path(cfg).name if isinstance(cfg, (str, Path)) else None
+        spec = parse_config(self.yaml, ch=ch, nc=nc, anchors_override=anchors, verbose=verbose)
+        spec = _probe_strides(spec, dtype)
+        self.spec = spec
+        self.dtype = dtype
+        self.module = GraphModel(spec, dtype)
+        self.nc = spec.nc
+        self.names = {i: str(i) for i in range(spec.nc)}
+        self.stride = np.array(spec.strides or [32])
+        self.hyp = None  # attached by the trainer
+
+    # --- functional interface -------------------------------------------------
+    def init(self, rng=None, imgsz: int = 640, bias_prior: bool = True):
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        x = jnp.zeros((1, imgsz, imgsz, self.spec.ch_in), jnp.float32)
+        variables = self.module.init(rng, x, train=True)
+        variables = jax.tree_util.tree_map(np.asarray, variables)  # mutable pytree of np arrays
+        variables = _to_mutable(variables)
+        if bias_prior and self.spec.layers[-1].name in ("Detect", "Segment"):
+            variables = initialize_detect_biases(variables, self.spec)
+        return variables
+
+    def apply(self, variables, x, train: bool = False, decode: Optional[bool] = None,
+              mutable=False, rngs=None):
+        return self.module.apply(variables, x, train=train, decode=decode,
+                                 mutable=mutable, rngs=rngs)
+
+    def info(self, variables=None):
+        n_layers = len(self.spec.layers)
+        n_params = 0
+        if variables is not None:
+            n_params = sum(int(np.prod(np.shape(p))) for p in jax.tree_util.tree_leaves(variables.get("params", {})))
+        LOGGER.info(f"{type(self).__name__}: {n_layers} layers, {n_params:,} parameters, strides {list(self.stride)}")
+        return n_layers, n_params
+
+
+def _to_mutable(tree):
+    if isinstance(tree, dict):
+        return {k: _to_mutable(v) for k, v in tree.items()}
+    try:  # FrozenDict
+        return {k: _to_mutable(v) for k, v in tree.items()}
+    except AttributeError:
+        return tree
+
+
+class DetectionModel(BaseModel):
+    task = "detect"
+
+
+class SegmentationModel(DetectionModel):
+    task = "segment"
+
+
+class SemanticSegModel(BaseModel):
+    """Dense semantic segmentation (the reference's standalone-script path).
+
+    Forward returns (b, h, w, nc) per-pixel class scores; if the graph's output
+    resolution differs from the input, it is bilinearly resized to match
+    (reference seg_diceloss_Resnet50.py:707-708)."""
+
+    task = "semantic"
+
+    def apply(self, variables, x, train: bool = False, decode=None, mutable=False, rngs=None):
+        out = self.module.apply(variables, x, train=train, mutable=mutable, rngs=rngs)
+        def fix(o):
+            if o.shape[1:3] != x.shape[1:3]:
+                from yolo_dual_tpu.nn.common import resize_bilinear
+                return resize_bilinear(o, x.shape[1:3])
+            return o
+        if mutable:
+            out, updates = out
+            return fix(out), updates
+        return fix(out)
+
+
+class ClassificationModel(BaseModel):
+    """Classification model derived from a detection backbone at a cutoff
+    (reference models/yolo.py:273-296)."""
+
+    task = "classify"
+
+    def __init__(self, cfg=None, nc: int = 1000, cutoff: int = 10, dtype: Dtype = None):
+        self.yaml = _load_cfg(cfg)
+        base = parse_config(self.yaml, ch=3)
+        layers = list(base.layers[:cutoff])
+        i = len(layers)
+        ch_in_cls = layers[-1].c2
+        layers.append(LayerSpec(i=i, f=-1, n=1, name="Classify",
+                                kwargs=(("c2", nc),), c2=nc))
+        spec = ModelSpec(layers=tuple(layers), nc=nc, ch_in=3,
+                         save=tuple(s for s in base.save if s < i),
+                         out_ch=tuple([l.c2 for l in layers]),
+                         anchors=(), strides=(), style="classify",
+                         default_act=base.default_act)
+        self.spec = spec
+        self.dtype = dtype
+        self.module = GraphModel(spec, dtype)
+        self.nc = nc
+        self.names = {i: str(i) for i in range(nc)}
+        self.stride = np.array([32])
+        self.hyp = None
+
+
+def build_model(cfg, task: Optional[str] = None, **kw) -> BaseModel:
+    """Factory: choose the wrapper from the config contents or explicit task."""
+    d = _load_cfg(cfg)
+    if task is None:
+        if d.get("anchors") is None:
+            task = "semantic"
+        else:
+            last = d["head"][-1][2] if d.get("head") else ""
+            task = "segment" if str(last) == "Segment" else "detect"
+    cls = {"detect": DetectionModel, "segment": SegmentationModel,
+           "semantic": SemanticSegModel, "classify": ClassificationModel}[task]
+    if task == "classify":
+        return cls(d, **kw)
+    return cls(d, **kw)

