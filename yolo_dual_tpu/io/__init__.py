@@ -1,0 +1,4 @@
+from yolo_dual_tpu.io.torch_import import (  # noqa: F401
+    import_torch_state_dict,
+    load_torch_checkpoint,
+)

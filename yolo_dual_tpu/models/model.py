@@ -44,6 +44,15 @@ class GraphModel(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, decode: Optional[bool] = None):
+        from yolo_dual_tpu.nn.common import bn_config
+        if self.spec.style == "semantic":
+            ctx = bn_config(1e-5, 0.9)    # torch BatchNorm2d defaults
+        else:
+            ctx = bn_config(1e-3, 0.97)   # reference initialize_weights profile
+        with ctx:
+            return self._walk(x, train, decode)
+
+    def _walk(self, x, train: bool, decode: Optional[bool]):
         y = []
         out = x
         for layer in self.spec.layers:

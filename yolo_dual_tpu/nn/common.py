@@ -32,6 +32,31 @@ from yolo_dual_tpu.nn.activations import resolve_act
 
 Dtype = Any
 
+# BatchNorm hyperparameters differ between the reference's two paths: the
+# detection/segment models run initialize_weights which sets eps=1e-3,
+# momentum=0.03 (reference utils/torch_utils.py:217-219), while the semantic
+# standalone scripts keep torch defaults eps=1e-5, momentum=0.1. GraphModel
+# selects the profile per compiled spec via `bn_config`.
+import contextlib
+
+_BN_CTX = {"eps": 1e-3, "momentum": 0.97}  # flax momentum = 1 - torch momentum
+
+
+@contextlib.contextmanager
+def bn_config(eps: float, momentum: float):
+    old = dict(_BN_CTX)
+    _BN_CTX.update(eps=eps, momentum=momentum)
+    try:
+        yield
+    finally:
+        _BN_CTX.clear()
+        _BN_CTX.update(old)
+
+
+def batch_norm(train: bool, name: str = "bn"):
+    return nn.BatchNorm(use_running_average=not train, momentum=_BN_CTX["momentum"],
+                        epsilon=_BN_CTX["eps"], dtype=jnp.float32, name=name)
+
 
 def autopad(k, p=None, d: int = 1):
     """Torch-style 'same' padding: p = k // 2 (per spatial dim), dilation-aware."""
@@ -107,13 +132,7 @@ class Conv(nn.Module):
             name="conv",
         )(x)
         if self.bn:
-            x = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=0.9,
-                epsilon=1e-5,
-                dtype=jnp.float32,
-                name="bn",
-            )(x).astype(x.dtype)
+            x = batch_norm(train)(x).astype(x.dtype)
         return resolve_act(self.act)(x)
 
 
@@ -203,8 +222,7 @@ class BottleneckCSP(nn.Module):
         y1 = nn.Conv(c_, (1, 1), use_bias=False, dtype=self.dtype, name="cv3")(y1)
         y2 = nn.Conv(c_, (1, 1), use_bias=False, dtype=self.dtype, name="cv2")(x)
         y = jnp.concatenate([y1, y2], axis=-1)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                         dtype=jnp.float32, name="bn")(y).astype(y.dtype)
+        y = batch_norm(train)(y).astype(y.dtype)
         y = jax.nn.silu(y)
         return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv4")(y, train)
 
@@ -532,8 +550,7 @@ class BatchNorm2d(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                            dtype=jnp.float32, name="bn")(x).astype(x.dtype)
+        return batch_norm(train)(x).astype(x.dtype)
 
 
 class ZeroPad2d(nn.Module):
