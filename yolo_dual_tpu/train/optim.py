@@ -1,0 +1,152 @@
+"""Optimizer construction: 3 parameter groups + warmup-aware schedules.
+
+Capability parity with reference utils/torch_utils.py:318-346 smart_optimizer
+(group 0: weights with decay; group 1: BN scales, no decay; group 2: biases,
+no decay, separate warmup start) and the per-iteration warmup of
+segment/train.py:521-529, re-expressed as optax transforms:
+
+- optax.multi_transform with labels computed from param paths
+- each group wraps inject_hyperparams(sgd/adam/...) so learning rate AND
+  momentum follow schedules (momentum warmup included)
+- linear / one_cycle epoch schedules (reference utils/general.py:683)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from yolo_dual_tpu.utils.general import LOGGER
+
+
+def param_group_label(path) -> str:
+    """g0: kernels with decay; g1: BN scales (no decay); g2: biases (no decay)."""
+    names = [p.key if hasattr(p, "key") else str(p) for p in path]
+    leaf = names[-1]
+    if leaf == "bias":
+        return "g2"
+    if leaf == "scale" or (leaf == "kernel" and "bn" in names):
+        return "g1"
+    if leaf == "scale":
+        return "g1"
+    return "g0"
+
+
+def one_cycle(y1: float, y2: float, steps: int) -> Callable[[float], float]:
+    return lambda x: ((1 - math.cos(x * math.pi / steps)) / 2) * (y2 - y1) + y1
+
+
+def build_lr_schedule(hyp: Dict, epochs: int, steps_per_epoch: int,
+                      cos_lr: bool = False, group: str = "g0",
+                      accumulate: int = 1) -> Callable:
+    """Per-step schedule combining epoch decay + iteration warmup.
+
+    Reference warmup (segment/train.py:521-529): over the first
+    max(3·steps_per_epoch, 100) iterations, lr ramps linearly from
+    0 (groups 0/1) or warmup_bias_lr (group 2) to lr0·lf(epoch).
+    """
+    lr0 = hyp.get("lr0", 0.01)
+    lrf = hyp.get("lrf", 0.01)
+    if cos_lr:
+        lf = one_cycle(1.0, lrf, epochs)
+    else:
+        def lf(e):
+            return (1 - e / epochs) * (1.0 - lrf) + lrf
+    nw = max(round(hyp.get("warmup_epochs", 3.0) * steps_per_epoch), 100)
+    warm_start = hyp.get("warmup_bias_lr", 0.1) if group == "g2" else 0.0
+
+    def sched(step):
+        # optax.MultiSteps advances the inner step only on "real" updates;
+        # scale back to data iterations for warmup bookkeeping
+        ni = step * accumulate
+        e = jnp.minimum(ni / steps_per_epoch, epochs - 1e-6)
+        # torch LambdaLR steps per epoch: lf evaluated at integer epoch
+        base = lr0 * _lf_jnp(jnp.floor(e), epochs, lrf, cos_lr)
+        frac = jnp.clip(ni / nw, 0.0, 1.0)
+        warm = warm_start + (base - warm_start) * frac
+        return jnp.where(ni < nw, warm, base)
+
+    return sched
+
+
+def _lf_jnp(e, epochs, lrf, cos_lr):
+    if cos_lr:
+        return ((1 - jnp.cos(e * math.pi / epochs)) / 2) * (lrf - 1.0) + 1.0
+    return (1 - e / epochs) * (1.0 - lrf) + lrf
+
+
+def build_momentum_schedule(hyp: Dict, steps_per_epoch: int, accumulate: int = 1) -> Callable:
+    m0 = hyp.get("warmup_momentum", 0.8)
+    m1 = hyp.get("momentum", 0.937)
+    nw = max(round(hyp.get("warmup_epochs", 3.0) * steps_per_epoch), 100)
+
+    def sched(step):
+        ni = step * accumulate
+        frac = jnp.clip(ni / nw, 0.0, 1.0)
+        return m0 + (m1 - m0) * frac
+
+    return sched
+
+
+def smart_optimizer(params, name: str = "SGD", hyp: Optional[Dict] = None,
+                    epochs: int = 100, steps_per_epoch: int = 100,
+                    cos_lr: bool = False, accumulate: int = 1,
+                    total_batch_size: Optional[int] = None,
+                    nominal_batch_size: int = 64) -> optax.GradientTransformation:
+    """Build the 3-group optimizer. `accumulate` wraps it in optax.MultiSteps
+    (the reference's gradient accumulation toward nominal batch 64,
+    segment/train.py:444-446, :531-539)."""
+    import jax
+    hyp = dict(hyp or {})
+    decay = hyp.get("weight_decay", 5e-4)
+    if total_batch_size is not None:
+        # reference scales weight decay with the effective batch
+        decay = decay * total_batch_size * accumulate / nominal_batch_size
+
+    labels = jax.tree_util.tree_map_with_path(lambda p, _: param_group_label(p), params)
+
+    def group_tx(group: str):
+        lr = build_lr_schedule(hyp, epochs, steps_per_epoch, cos_lr, group, accumulate)
+        mom = build_momentum_schedule(hyp, steps_per_epoch, accumulate)
+        wd = decay if group == "g0" else 0.0
+        if name in ("SGD", "sgd"):
+            @optax.inject_hyperparams
+            def tx(learning_rate, momentum):
+                chain = [optax.add_decayed_weights(wd)] if wd else []
+                chain += [optax.trace(decay=momentum, nesterov=True),
+                          optax.scale_by_learning_rate(learning_rate)]
+                return optax.chain(*chain)
+            return tx(learning_rate=lr, momentum=mom)
+        if name in ("Adam", "adam"):
+            return optax.inject_hyperparams(
+                lambda learning_rate, b1: optax.chain(
+                    optax.scale_by_adam(b1=b1, b2=0.999),
+                    *( [optax.add_decayed_weights(wd)] if wd else [] ),
+                    optax.scale_by_learning_rate(learning_rate)))(learning_rate=lr, b1=mom)
+        if name in ("AdamW", "adamw"):
+            return optax.inject_hyperparams(
+                lambda learning_rate, b1: optax.chain(
+                    optax.scale_by_adam(b1=b1, b2=0.999),
+                    *( [optax.add_decayed_weights(wd)] if wd else [] ),
+                    optax.scale_by_learning_rate(learning_rate)))(learning_rate=lr, b1=mom)
+        if name in ("RMSProp", "rmsprop"):
+            return optax.inject_hyperparams(
+                lambda learning_rate, momentum: optax.chain(
+                    optax.scale_by_rms(decay=0.9),
+                    *( [optax.add_decayed_weights(wd)] if wd else [] ),
+                    optax.scale_by_learning_rate(learning_rate)))(learning_rate=lr, momentum=mom)
+        raise NotImplementedError(f"Optimizer {name} not implemented")
+
+    tx = optax.multi_transform({g: group_tx(g) for g in ("g0", "g1", "g2")}, labels)
+    if accumulate > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
+    n0 = sum(1 for l in jax.tree_util.tree_leaves(labels) if l == "g0")
+    n1 = sum(1 for l in jax.tree_util.tree_leaves(labels) if l == "g1")
+    n2 = sum(1 for l in jax.tree_util.tree_leaves(labels) if l == "g2")
+    LOGGER.info(f"optimizer: {name}(lr={hyp.get('lr0', 0.01)}) with groups "
+                f"{n0} weight(decay={decay:.5g}), {n1} weight(decay=0.0), {n2} bias")
+    return tx
