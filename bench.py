@@ -1,0 +1,157 @@
+"""Benchmark: flagship-model throughput on the current default device.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N, ...}
+
+Measures yolov5s-seg @640 batched inference (forward + decode + on-device NMS,
+the reference's segment/val.py hot path) and a full training step
+(forward+loss+backward+optimizer, the segment/train.py hot path).
+
+Methodology: this environment reaches the TPU through a high-latency tunnel
+with large constant per-call overhead (measured ~0.8 s per dispatch regardless
+of batch size), so naive per-call timing measures the tunnel, not the chip.
+Each benchmark therefore runs N iterations INSIDE one compiled call
+(lax.fori_loop, inputs perturbed per iteration to defeat loop-invariant code
+motion) at two different N, and reports the slope — pure on-device time.
+
+vs_baseline denominator: the reference publishes no speed numbers
+(BASELINE.md); we use 714 img/s ≈ the Ultralytics-published A100 TensorRT
+yolov5s-seg batch-32 latency (1.4 ms/img) as the A100 stand-in, so
+vs_baseline ≈ our-chip/A100 ratio for the inference metric (north star ≥ 2.0).
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent
+if str(ROOT) not in sys.path:
+    sys.path.insert(0, str(ROOT))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_BASELINE_IMG_S = 714.0  # see module docstring
+FAST = os.environ.get("BENCH_FAST", "0") == "1"
+CFG = ROOT / "yolo_dual_tpu" / "configs" / "segment" / "yolov5s-seg.yaml"
+
+
+def _timed(fn, *args):
+    t0 = time.perf_counter()
+    np.asarray(fn(*args))  # force full completion incl. transfer of the scalar
+    return time.perf_counter() - t0
+
+
+def _slope(run, n1, n2):
+    run(n1)  # compile both loop counts? fori_loop bound is dynamic -> one compile
+    t1 = min(_timed(run, n1) for _ in range(2))
+    t2 = min(_timed(run, n2) for _ in range(2))
+    return (t2 - t1) / (n2 - n1)
+
+
+def bench_inference(bs=32, imgsz=640, n1=3, n2=11):
+    from yolo_dual_tpu.models.model import SegmentationModel
+    from yolo_dual_tpu.ops.nms import nms_batched
+
+    model = SegmentationModel(CFG, dtype=jnp.bfloat16)
+    variables = model.init(imgsz=imgsz)
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (bs, imgsz, imgsz, 3)).astype(np.float32))
+
+    @jax.jit
+    def loop(variables, x, iters):
+        def body(i, acc):
+            xi = (x + i.astype(jnp.float32) * 1e-6).astype(jnp.bfloat16)
+            pred, protos, _ = model.module.apply(variables, xi, train=False)
+            out, nv = nms_batched(pred.astype(jnp.float32), conf_thres=0.25,
+                                  iou_thres=0.45, max_det=300, nm=32, pre_nms_topk=1024)
+            return acc + out[:, :, 4].sum() + protos.astype(jnp.float32).mean()
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    per_iter = _slope(lambda n: loop(variables, x, n), n1, n2)
+    return bs / per_iter
+
+
+def bench_train(bs=16, imgsz=640, n1=2, n2=8):
+    from yolo_dual_tpu.losses import ComputeSegmentLoss
+    from yolo_dual_tpu.models.model import SegmentationModel
+    from yolo_dual_tpu.train import ModelEMA, Trainer, smart_optimizer
+
+    hyp = dict(lr0=0.01, lrf=0.01, momentum=0.937, weight_decay=5e-4, warmup_epochs=0.0,
+               box=0.05, cls=0.5, obj=1.0, anchor_t=4.0, cls_pw=1.0, obj_pw=1.0, fl_gamma=0.0)
+    model = SegmentationModel(CFG, dtype=jnp.bfloat16)
+    variables = model.init(imgsz=imgsz)
+    head_kw = model.spec.layers[-1].kw()
+    loss = ComputeSegmentLoss(head_kw["anchors"], head_kw["strides"], 80, 32, hyp,
+                              overlap=True, pos_capacity=1024)
+    tx = smart_optimizer(variables["params"], "SGD", hyp, epochs=1, steps_per_epoch=100)
+    tr = Trainer(model, loss, tx, ema=ModelEMA(), task="segment")
+    state0 = tr.init_state(variables)
+
+    rng = np.random.default_rng(0)
+    M = 32
+    targets = np.zeros((bs, M, 5), np.float32)
+    tmask = np.zeros((bs, M), bool)
+    for b in range(bs):
+        targets[b, :6, 0] = rng.integers(0, 80, 6)
+        targets[b, :6, 1:3] = rng.uniform(0.2, 0.8, (6, 2))
+        targets[b, :6, 3:5] = rng.uniform(0.05, 0.3, (6, 2))
+        tmask[b, :6] = True
+    masks = rng.integers(0, 7, (bs, imgsz // 4, imgsz // 4)).astype(np.float32)
+    batch = {"image": jnp.asarray(rng.uniform(0, 255, (bs, imgsz, imgsz, 3)).astype(np.float32)),
+             "targets": jnp.asarray(targets), "tmask": jnp.asarray(tmask),
+             "masks": jnp.asarray(masks)}
+
+    def one_step(state, i):
+        b = dict(batch)
+        b["image"] = batch["image"] + i.astype(jnp.float32) * 1e-6
+
+        def loss_fn(params):
+            return tr._forward_loss(params, state.batch_stats, b)
+
+        (lv, (items, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        import optax
+        updates, opt_state = tr.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = tr.ema.update(state.ema, {"params": params, "batch_stats": new_bs})
+        return state.replace(params=params, batch_stats=new_bs, opt_state=opt_state,
+                             ema=ema, step=state.step + 1), lv
+
+    @jax.jit
+    def loop(state, iters):
+        def body(i, carry):
+            state, acc = carry
+            state, lv = one_step(state, i)
+            return state, acc + lv
+        state, acc = jax.lax.fori_loop(0, iters, body, (state, jnp.zeros(())))
+        return acc
+
+    per_iter = _slope(lambda n: loop(state0, n), n1, n2)
+    return bs / per_iter
+
+
+def main():
+    if FAST:
+        infer_ips = bench_inference(bs=8, imgsz=320, n1=2, n2=5)
+        train_ips = 0.0
+    else:
+        infer_ips = bench_inference()
+        try:
+            train_ips = bench_train()
+        except Exception as e:
+            print(f"train bench failed: {e}", file=sys.stderr)
+            train_ips = 0.0
+    print(json.dumps({
+        "metric": "yolov5s-seg@640 batched inference (fwd+decode+NMS)",
+        "value": round(infer_ips, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(infer_ips / A100_BASELINE_IMG_S, 3),
+        "train_images_per_sec": round(train_ips, 2),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

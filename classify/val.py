@@ -1,0 +1,72 @@
+"""Classification validation CLI: top1/top5 accuracy
+(reference classify/val.py:1-170)."""
+
+import argparse
+import sys
+from pathlib import Path
+
+FILE = Path(__file__).resolve()
+ROOT = FILE.parents[1]
+if str(ROOT) not in sys.path:
+    sys.path.insert(0, str(ROOT))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_dual_tpu.data.loader import Loader, normalize_image
+from yolo_dual_tpu.models.model import ClassificationModel
+from yolo_dual_tpu.train import load_checkpoint
+from yolo_dual_tpu.utils.general import LOGGER
+
+CONFIGS = ROOT / "yolo_dual_tpu" / "configs"
+
+
+def run(weights="", model="yolov5n.yaml", data_dir="", imgsz=224, batch_size=64,
+        cutoff=10, **kw):
+    sys.path.insert(0, str(ROOT / "classify"))
+    from train import FolderClassificationDataset
+    val_dir = Path(data_dir) / ("val" if (Path(data_dir) / "val").exists() else "test")
+    ds = FolderClassificationDataset(val_dir, imgsz)
+    loader = Loader(ds, batch_size, drop_last=False)
+    cfg = Path(model) if Path(model).exists() else CONFIGS / "models" / model
+    m = ClassificationModel(cfg, nc=len(ds.classes), cutoff=cutoff)
+    variables = m.module.init(jax.random.PRNGKey(0), jnp.zeros((1, imgsz, imgsz, 3)), train=False)
+    if weights:
+        ckpt = load_checkpoint(weights)
+        variables = ckpt.get("variables", variables)
+        if ckpt.get("ema"):
+            variables = ckpt["ema"].get("ema", variables)
+
+    @jax.jit
+    def fwd(v, x):
+        return m.module.apply(v, normalize_image(x), train=False)
+
+    top1 = top5 = n = 0
+    for batch in loader:
+        logits = np.asarray(fwd(variables, jnp.asarray(batch["image"])))
+        bsz = int(batch.get("n_valid", len(logits)))
+        lab = batch["label"][:bsz]
+        order = np.argsort(-logits[:bsz], axis=1)
+        top1 += (order[:, 0] == lab).sum()
+        top5 += (order[:, :5] == lab[:, None]).any(1).sum()
+        n += bsz
+    top1, top5 = top1 / max(n, 1), top5 / max(n, 1)
+    LOGGER.info(f"top1 {top1:.4f} top5 {top5:.4f} over {n} images")
+    return top1, top5
+
+
+def parse_opt(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--weights", type=str, default="")
+    p.add_argument("--model", type=str, default="yolov5n.yaml")
+    p.add_argument("--data-dir", type=str, required=True)
+    p.add_argument("--imgsz", type=int, default=224)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--cutoff", type=int, default=10)
+    p.add_argument("--device", default="", help="parity flag")
+    return p.parse_args(argv)
+
+
+if __name__ == "__main__":
+    run(**vars(parse_opt()))

@@ -1,0 +1,77 @@
+"""Instance-segmentation streaming prediction CLI.
+
+Equivalent of reference segment/predict.py:53-263: images/dirs/videos in,
+annotated images + optional txt out, per-stage speed report.
+
+Usage:
+    python segment/predict.py --weights runs/train-seg/exp/best --source data/images
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+FILE = Path(__file__).resolve()
+ROOT = FILE.parents[1]
+if str(ROOT) not in sys.path:
+    sys.path.insert(0, str(ROOT))
+
+from yolo_dual_tpu.engine import predict_images
+from yolo_dual_tpu.utils.general import check_img_size
+
+sys.path.insert(0, str(ROOT / "segment"))
+from val import find_cfg, load_model_and_weights  # noqa: E402
+
+
+def run(weights="", cfg="yolov5s-seg.yaml", source="data/images", imgsz=640,
+        conf_thres=0.25, iou_thres=0.45, max_det=300, classes=None,
+        agnostic_nms=False, retina_masks=False, project="runs/predict-seg",
+        name="exp", save_txt=False, nosave=False, line_thickness=3,
+        hide_labels=False, hide_conf=False, soft_nms=False, nc=80, data=None, **kw):
+    imgsz = check_img_size(imgsz, 32)
+    if data:
+        from yolo_dual_tpu.utils.general import check_dataset
+        d = check_dataset(find_cfg(data, "data"))
+        nc = int(d["nc"])
+        names = d.get("names")
+    else:
+        names = None
+    model, variables = load_model_and_weights(weights, cfg, nc, imgsz)
+    head_kw = model.spec.layers[-1].kw()
+    return predict_images(
+        model, variables, source, imgsz=imgsz, conf_thres=conf_thres,
+        iou_thres=iou_thres, max_det=max_det, nm=head_kw.get("nm", 32),
+        classes=classes, agnostic_nms=agnostic_nms, retina_masks=retina_masks,
+        save_dir=str(Path(project) / name), save_txt=save_txt, save_img=not nosave,
+        names=names, line_thickness=line_thickness, hide_labels=hide_labels,
+        hide_conf=hide_conf, use_soft_nms=soft_nms)
+
+
+def parse_opt(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--weights", type=str, default="")
+    p.add_argument("--cfg", type=str, default="yolov5s-seg.yaml")
+    p.add_argument("--source", type=str, default=str(ROOT / "data" / "images"))
+    p.add_argument("--data", type=str, default=None, help="dataset yaml for class names")
+    p.add_argument("--imgsz", "--img-size", type=int, default=640)
+    p.add_argument("--conf-thres", type=float, default=0.25)
+    p.add_argument("--iou-thres", type=float, default=0.45)
+    p.add_argument("--max-det", type=int, default=300)
+    p.add_argument("--classes", nargs="+", type=int)
+    p.add_argument("--agnostic-nms", action="store_true")
+    p.add_argument("--retina-masks", action="store_true")
+    p.add_argument("--project", default=str(ROOT / "runs" / "predict-seg"))
+    p.add_argument("--name", default="exp")
+    p.add_argument("--save-txt", action="store_true")
+    p.add_argument("--nosave", action="store_true")
+    p.add_argument("--line-thickness", type=int, default=3)
+    p.add_argument("--hide-labels", action="store_true")
+    p.add_argument("--hide-conf", action="store_true")
+    p.add_argument("--soft-nms", action="store_true")
+    p.add_argument("--nc", type=int, default=80)
+    p.add_argument("--device", default="", help="parity flag")
+    return p.parse_args(argv)
+
+
+if __name__ == "__main__":
+    run(**vars(parse_opt()))

@@ -1,0 +1,177 @@
+"""Instance-segmentation training CLI.
+
+The working equivalent of reference segment/train.py:348-622 (whose own
+dataloader/loss contract is inconsistent — SURVEY §2.2): YOLO-seg dataset with
+mosaic, ComputeSegmentLoss, EMA, warmup schedules, per-epoch val with box+mask
+mAP fitness, last/best checkpoints, CSV logging, early stopping.
+
+Usage:
+    python segment/train.py --cfg yolov5n-seg.yaml --data coco128-seg.yaml \
+        --hyp hyp.scratch-low.yaml --epochs 100 --batch-size 16 --imgsz 640
+"""
+
+import argparse
+import csv
+import math
+import os
+import sys
+import time
+from pathlib import Path
+
+FILE = Path(__file__).resolve()
+ROOT = FILE.parents[1]
+if str(ROOT) not in sys.path:
+    sys.path.insert(0, str(ROOT))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_dual_tpu.data import create_dataloader
+from yolo_dual_tpu.engine import evaluate_segment
+from yolo_dual_tpu.losses import ComputeSegmentLoss
+from yolo_dual_tpu.metrics.seg import fitness_seg
+from yolo_dual_tpu.models.model import SegmentationModel
+from yolo_dual_tpu.train import (
+    EarlyStopping, ModelEMA, Trainer, load_checkpoint, save_checkpoint,
+    smart_optimizer, strip_optimizer,
+)
+from yolo_dual_tpu.utils.general import (
+    LOGGER, check_dataset, check_img_size, colorstr, increment_path, init_seeds,
+    yaml_load, yaml_save,
+)
+
+CONFIGS = ROOT / "yolo_dual_tpu" / "configs"
+
+
+def find_cfg(name, *dirs):
+    p = Path(name)
+    if p.exists():
+        return p
+    for d in dirs:
+        c = CONFIGS / d / name
+        if c.exists():
+            return c
+    raise FileNotFoundError(f"config {name} not found in {dirs}")
+
+
+def train(opt):
+    init_seeds(opt.seed)
+    save_dir = increment_path(Path(opt.project) / opt.name, exist_ok=opt.exist_ok, mkdir=True)
+    hyp = yaml_load(find_cfg(opt.hyp, "hyps"))
+    data = check_dataset(find_cfg(opt.data, "data"))
+    yaml_save(save_dir / "hyp.yaml", hyp)
+    yaml_save(save_dir / "opt.yaml", vars(opt))
+    imgsz = check_img_size(opt.imgsz, 32)
+
+    model = SegmentationModel(find_cfg(opt.cfg, "segment", "models"), nc=int(data["nc"]))
+    variables = model.init(imgsz=imgsz)
+    if opt.weights:
+        from yolo_dual_tpu.io import import_torch_state_dict, load_torch_checkpoint
+        if str(opt.weights).endswith(".pt"):
+            sd = load_torch_checkpoint(opt.weights)
+            variables = import_torch_state_dict(variables, sd, spec=model.spec, strict=False)
+        else:
+            ckpt = load_checkpoint(opt.weights)
+            variables = ckpt["variables"]
+    model.names = data.get("names", model.names)
+    model.hyp = hyp
+
+    train_loader, dataset = create_dataloader(
+        data["train"], imgsz, opt.batch_size, hyp=hyp, augment=True, shuffle=True,
+        mask_downsample_ratio=opt.mask_ratio, overlap_mask=not opt.no_overlap,
+        task="segment", seed=opt.seed, prefix=colorstr("train: "), single_cls=opt.single_cls)
+    val_loader, _ = create_dataloader(
+        data["val"], imgsz, opt.batch_size, hyp=hyp, augment=False,
+        mask_downsample_ratio=opt.mask_ratio, overlap_mask=not opt.no_overlap,
+        task="segment", prefix=colorstr("val: "), single_cls=opt.single_cls)
+
+    nb = len(train_loader)
+    accumulate = max(round(64 / opt.batch_size), 1)
+    head_kw = model.spec.layers[-1].kw()
+    nm = head_kw.get("nm", 32)
+    loss_fn = ComputeSegmentLoss(head_kw["anchors"], head_kw["strides"], int(data["nc"]),
+                                 nm, hyp, overlap=not opt.no_overlap)
+    tx = smart_optimizer(variables["params"], opt.optimizer, hyp, epochs=opt.epochs,
+                         steps_per_epoch=nb, cos_lr=opt.cos_lr, accumulate=accumulate,
+                         total_batch_size=opt.batch_size)
+    mesh = None
+    if opt.data_parallel and jax.device_count() > 1:
+        from yolo_dual_tpu.parallel import make_mesh
+        mesh = make_mesh()
+    trainer = Trainer(model, loss_fn, tx, ema=ModelEMA(), task="segment", mesh=mesh)
+    state = trainer.init_state(variables)
+    step_fn = trainer.make_train_step()
+    stopper = EarlyStopping(patience=opt.patience)
+    best_fitness = 0.0
+
+    csv_path = save_dir / "results.csv"
+    with open(csv_path, "w", newline="") as f:
+        csv.writer(f).writerow(["epoch", "box_loss", "seg_loss", "obj_loss", "cls_loss",
+                                "mAP50_B", "mAP_B", "mAP50_M", "mAP_M", "fitness"])
+
+    LOGGER.info(f"Training {opt.cfg} on {data.get('train')} for {opt.epochs} epochs "
+                f"(batch {opt.batch_size}, imgsz {imgsz}, accumulate {accumulate})...")
+    t0 = time.time()
+    for epoch in range(opt.epochs):
+        train_loader.set_epoch(epoch)
+        mloss = np.zeros(4)
+        for i, batch in enumerate(train_loader):
+            b = {k: jnp.asarray(batch[k]) for k in ("image", "targets", "tmask", "masks")}
+            if mesh is not None:
+                from yolo_dual_tpu.parallel import shard_batch
+                b = shard_batch(b, mesh)
+            state, metrics = step_fn(state, b)
+            mloss = (mloss * i + np.asarray(metrics["items"])) / (i + 1)
+        variables_eval = state.ema["ema"] if state.ema is not None else \
+            {"params": state.params, "batch_stats": state.batch_stats}
+        mean, maps, _ = evaluate_segment(model, variables_eval, val_loader, int(data["nc"]),
+                                         nm=nm, mask_ratio=opt.mask_ratio,
+                                         names=data.get("names"))
+        fi = fitness_seg(np.asarray(mean))
+        LOGGER.info(f"epoch {epoch}: loss {mloss.round(4)} fitness {fi:.4f} "
+                    f"({(time.time() - t0) / (epoch + 1):.1f}s/epoch)")
+        with open(csv_path, "a", newline="") as f:
+            csv.writer(f).writerow([epoch, *mloss, mean[2], mean[3], mean[6], mean[7], fi])
+        ckpt = {"variables": {"params": state.params, "batch_stats": state.batch_stats},
+                "ema": state.ema, "epoch": epoch, "best_fitness": float(max(fi, best_fitness)),
+                "opt_state": None if opt.nosave_optimizer else state.opt_state}
+        save_checkpoint(save_dir / "last", ckpt)
+        if fi >= best_fitness:
+            best_fitness = fi
+            save_checkpoint(save_dir / "best", ckpt)
+        if stopper(epoch, fi):
+            break
+    strip_optimizer(save_dir / "best")
+    LOGGER.info(f"Done in {(time.time() - t0) / 3600:.2f}h; results in {save_dir}")
+    return best_fitness
+
+
+def parse_opt(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--weights", type=str, default="", help="initial weights (.pt or orbax dir)")
+    p.add_argument("--cfg", type=str, default="yolov5n-seg.yaml", help="model config")
+    p.add_argument("--data", type=str, default="coco128-seg.yaml", help="dataset config")
+    p.add_argument("--hyp", type=str, default="hyp.scratch-low.yaml", help="hyperparameters")
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--imgsz", "--img-size", type=int, default=640)
+    p.add_argument("--optimizer", choices=["SGD", "Adam", "AdamW"], default="SGD")
+    p.add_argument("--cos-lr", action="store_true")
+    p.add_argument("--single-cls", action="store_true")
+    p.add_argument("--patience", type=int, default=100)
+    p.add_argument("--mask-ratio", type=int, default=4)
+    p.add_argument("--no-overlap", action="store_true")
+    p.add_argument("--project", default=str(ROOT / "runs" / "train-seg"))
+    p.add_argument("--name", default="exp")
+    p.add_argument("--exist-ok", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--data-parallel", action="store_true", help="shard batch over all devices")
+    p.add_argument("--nosave-optimizer", action="store_true")
+    p.add_argument("--device", default="", help="accepted for reference-CLI parity (JAX selects devices)")
+    p.add_argument("--workers", type=int, default=0, help="accepted for parity (thread prefetch is used)")
+    return p.parse_args(argv)
+
+
+if __name__ == "__main__":
+    train(parse_opt())

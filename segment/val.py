@@ -1,0 +1,114 @@
+"""Instance-segmentation validation CLI (box + mask mAP50-95).
+
+Equivalent of reference segment/val.py:128-465 with the same metric
+definitions; supports reference .pt weights via the torch importer.
+
+Usage:
+    python segment/val.py --weights runs/train-seg/exp/best --data coco128-seg.yaml
+    python segment/val.py --weights yolov5s-seg.pt --cfg yolov5s-seg.yaml --task val
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+FILE = Path(__file__).resolve()
+ROOT = FILE.parents[1]
+if str(ROOT) not in sys.path:
+    sys.path.insert(0, str(ROOT))
+
+import numpy as np
+
+from yolo_dual_tpu.data import create_dataloader
+from yolo_dual_tpu.engine import evaluate_segment
+from yolo_dual_tpu.models.model import SegmentationModel
+from yolo_dual_tpu.utils.general import LOGGER, check_dataset, check_img_size, yaml_load
+
+CONFIGS = ROOT / "yolo_dual_tpu" / "configs"
+
+
+def find_cfg(name, *dirs):
+    p = Path(name)
+    if p.exists():
+        return p
+    for d in dirs:
+        c = CONFIGS / d / name
+        if c.exists():
+            return c
+    raise FileNotFoundError(f"config {name} not found")
+
+
+def load_model_and_weights(weights, cfg, nc, imgsz):
+    model = SegmentationModel(find_cfg(cfg, "segment", "models"), nc=nc)
+    variables = model.init(imgsz=imgsz)
+    if weights:
+        if str(weights).endswith(".pt"):
+            from yolo_dual_tpu.io import import_torch_state_dict, load_torch_checkpoint
+            sd = load_torch_checkpoint(weights)
+            variables = import_torch_state_dict(variables, sd, spec=model.spec, strict=False)
+        else:
+            from yolo_dual_tpu.train import load_checkpoint
+            ckpt = load_checkpoint(weights)
+            v = ckpt.get("variables", ckpt)
+            if ckpt.get("ema"):
+                v = ckpt["ema"].get("ema", v)
+            variables = v
+    return model, variables
+
+
+def run(data="coco128-seg.yaml", weights="", cfg="yolov5s-seg.yaml", batch_size=16,
+        imgsz=640, conf_thres=0.001, iou_thres=0.6, max_det=300, task="val",
+        single_cls=False, verbose=False, soft_nms=False, mask_ratio=4, plots=False,
+        save_dir=".", **kw):
+    data = check_dataset(find_cfg(data, "data"))
+    imgsz = check_img_size(imgsz, 32)
+    nc = 1 if single_cls else int(data["nc"])
+    model, variables = load_model_and_weights(weights, cfg, nc, imgsz)
+    loader, _ = create_dataloader(data[task if task in data else "val"], imgsz, batch_size,
+                                  augment=False, mask_downsample_ratio=mask_ratio,
+                                  overlap_mask=True, task="segment", single_cls=single_cls)
+    head_kw = model.spec.layers[-1].kw()
+    mean, maps, t = evaluate_segment(model, variables, loader, nc,
+                                     conf_thres=conf_thres, iou_thres=iou_thres,
+                                     max_det=max_det, nm=head_kw.get("nm", 32),
+                                     mask_ratio=mask_ratio, names=data.get("names"),
+                                     plots=plots, save_dir=save_dir,
+                                     use_soft_nms=soft_nms, verbose=verbose)
+    return mean, maps, t
+
+
+def parse_opt(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--data", type=str, default="coco128-seg.yaml")
+    p.add_argument("--weights", type=str, default="")
+    p.add_argument("--cfg", type=str, default="yolov5s-seg.yaml")
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--imgsz", "--img-size", type=int, default=640)
+    p.add_argument("--conf-thres", type=float, default=0.001)
+    p.add_argument("--iou-thres", type=float, default=0.6)
+    p.add_argument("--max-det", type=int, default=300)
+    p.add_argument("--task", default="val", help="val, test, or speed/study sweeps")
+    p.add_argument("--single-cls", action="store_true")
+    p.add_argument("--verbose", action="store_true")
+    p.add_argument("--soft-nms", action="store_true", help="Gaussian soft-NMS variant")
+    p.add_argument("--mask-ratio", type=int, default=4)
+    p.add_argument("--plots", action="store_true")
+    p.add_argument("--device", default="", help="parity flag (JAX selects devices)")
+    p.add_argument("--workers", type=int, default=0, help="parity flag")
+    p.add_argument("--half", action="store_true", help="parity flag (bf16 policy instead)")
+    return p.parse_args(argv)
+
+
+def main(opt):
+    if opt.task == "speed":
+        run(**{**vars(opt), "task": "val", "conf_thres": 0.25, "iou_thres": 0.45})
+    elif opt.task == "study":
+        for sz in range(256, 1536 + 128, 128):  # reference resolution sweep :454-465
+            LOGGER.info(f"--- study imgsz {sz}")
+            run(**{**vars(opt), "task": "val", "imgsz": sz})
+    else:
+        run(**vars(opt))
+
+
+if __name__ == "__main__":
+    main(parse_opt())

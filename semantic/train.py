@@ -1,0 +1,174 @@
+"""Semantic-segmentation training CLI — ONE trainer for every backbone family.
+
+Replaces the reference's ~10 copy-pasted standalone trainers
+(reference unet-lite/{Resnet18,Resnet34,Resnet50,Vgg16,yolo5-seg,yolo8-seg,
+yolo9-seg}/seg_*.py, yolov5/seg.py, yolov8/seg*.py, yolov9/seg.py): pick the
+backbone with --cfg (resnet18/34/50, vgg16, yolov5_seg, yolov8_seg,
+yolov9_seg) and the loss with --loss {dice, jaccard, ce}. JSON dense-mask
+dataset, class weights (data-driven or weight.yaml), AMP-analog bf16, EMA,
+TensorBoard-style CSV logging, mIoU validation with ignore_index.
+
+Usage:
+    python semantic/train.py --cfg resnet50.yaml --img-dir data/imgs \
+        --json-dir data/jsons --loss dice --epochs 100
+"""
+
+import argparse
+import csv
+import sys
+import time
+from pathlib import Path
+
+FILE = Path(__file__).resolve()
+ROOT = FILE.parents[1]
+if str(ROOT) not in sys.path:
+    sys.path.insert(0, str(ROOT))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_dual_tpu.data import create_json_segment_dataloader, verify_json_masks, batch_convert_masks_to_json
+from yolo_dual_tpu.engine import evaluate_semantic
+from yolo_dual_tpu.losses import SemanticSegLoss, parse_class_weights
+from yolo_dual_tpu.metrics import fitness
+from yolo_dual_tpu.models.model import SemanticSegModel
+from yolo_dual_tpu.train import (
+    EarlyStopping, ModelEMA, Trainer, save_checkpoint, smart_optimizer, strip_optimizer,
+)
+from yolo_dual_tpu.utils.general import LOGGER, increment_path, init_seeds, yaml_load, yaml_save
+
+CONFIGS = ROOT / "yolo_dual_tpu" / "configs"
+CLASS_NAMES = ["sky", "building", "pole", "road", "pavement", "tree", "signsymbol",
+               "fence", "car", "pedestrian", "bicyclist", "unlabelled"]
+
+
+def find_cfg(name, d="semantic"):
+    p = Path(name)
+    return p if p.exists() else CONFIGS / d / name
+
+
+def train(opt):
+    init_seeds(opt.seed)
+    save_dir = increment_path(Path(opt.project) / opt.name, exist_ok=opt.exist_ok, mkdir=True)
+    hyp = yaml_load(find_cfg(opt.hyp, "hyps")) if opt.hyp else dict(
+        lr0=0.01, lrf=0.01, momentum=0.937, weight_decay=5e-4, warmup_epochs=3.0,
+        warmup_momentum=0.8, warmup_bias_lr=0.1)
+    yaml_save(save_dir / "hyp.yaml", hyp)
+    yaml_save(save_dir / "opt.yaml", vars(opt))
+
+    ok, missing = verify_json_masks(opt.img_dir, opt.json_dir)
+    if not ok and opt.mask_dir:
+        LOGGER.info(f"{len(missing)} JSON masks missing; converting from {opt.mask_dir}")
+        batch_convert_masks_to_json(opt.mask_dir, opt.json_dir, CLASS_NAMES)
+    model = SemanticSegModel(find_cfg(opt.cfg), nc=opt.nc)
+    variables = model.init(imgsz=opt.imgsz)
+
+    train_loader, dataset = create_json_segment_dataloader(
+        opt.img_dir, opt.json_dir, opt.imgsz, opt.batch_size, augment=True,
+        num_classes=opt.nc, seed=opt.seed)
+    val_loader, _ = create_json_segment_dataloader(
+        opt.val_img_dir or opt.img_dir, opt.val_json_dir or opt.json_dir, opt.imgsz,
+        opt.batch_size, augment=False, num_classes=opt.nc, drop_last=False)
+
+    if opt.class_weights:
+        cw = parse_class_weights(opt.class_weights, opt.nc, CLASS_NAMES)
+    elif opt.auto_weights:
+        cw = dataset.class_weights()
+        LOGGER.info(f"data-driven class weights: {np.round(cw, 3)}")
+    else:
+        cw = None
+    loss_fn = SemanticSegLoss(opt.nc, label_smoothing=opt.label_smoothing,
+                              class_weights=cw, flavor=opt.loss)
+
+    nb = len(train_loader)
+    accumulate = max(round(64 / opt.batch_size), 1)
+    tx = smart_optimizer(variables["params"], opt.optimizer, hyp, epochs=opt.epochs,
+                         steps_per_epoch=nb, cos_lr=opt.cos_lr, accumulate=accumulate,
+                         total_batch_size=opt.batch_size)
+    mesh = None
+    if opt.data_parallel and jax.device_count() > 1:
+        from yolo_dual_tpu.parallel import make_mesh
+        mesh = make_mesh()
+    trainer = Trainer(model, loss_fn, tx, ema=ModelEMA(), task="semantic", mesh=mesh)
+    state = trainer.init_state(variables)
+    step_fn = trainer.make_train_step()
+    stopper = EarlyStopping(patience=opt.patience)
+    best_fitness = -1.0
+
+    csv_path = save_dir / "results.csv"
+    with open(csv_path, "w", newline="") as f:
+        csv.writer(f).writerow(["epoch", "total_loss", "ce_loss", f"{opt.loss}_loss",
+                                "mIoU", "val_loss", "fitness"])
+
+    t0 = time.time()
+    for epoch in range(opt.epochs):
+        train_loader.set_epoch(epoch)
+        mloss = np.zeros(3)
+        for i, batch in enumerate(train_loader):
+            b = {"image": jnp.asarray(batch["image"]), "mask": jnp.asarray(batch["mask"])}
+            if mesh is not None:
+                from yolo_dual_tpu.parallel import shard_batch
+                b = shard_batch(b, mesh)
+            state, metrics = step_fn(state, b)
+            mloss = (mloss * i + np.asarray(metrics["items"])) / (i + 1)
+        variables_eval = state.ema["ema"] if state.ema is not None else \
+            {"params": state.params, "batch_stats": state.batch_stats}
+        (miou, vloss, _, _), per_cls_iou, _ = evaluate_semantic(
+            model, variables_eval, val_loader, opt.nc, ignore_index=opt.ignore_index,
+            loss_fn=loss_fn, names=dict(enumerate(CLASS_NAMES)))
+        # Reference quirk, knowingly fixed: it fed (mIoU, dice, 0, 0) through the
+        # DETECTION fitness (w=[0,0,.1,.9]) which is identically zero, so best.pt
+        # was overwritten every epoch (SURVEY §2.2). We use mIoU as fitness.
+        fi = float(miou)
+        LOGGER.info(f"epoch {epoch}: train {mloss.round(4)} mIoU {miou:.4f} "
+                    f"({(time.time() - t0) / (epoch + 1):.1f}s/epoch)")
+        with open(csv_path, "a", newline="") as f:
+            csv.writer(f).writerow([epoch, *mloss, miou, vloss, fi])
+        ckpt = {"variables": {"params": state.params, "batch_stats": state.batch_stats},
+                "ema": state.ema, "epoch": epoch, "best_fitness": float(max(fi, best_fitness))}
+        save_checkpoint(save_dir / "last", ckpt)
+        if fi >= best_fitness:
+            best_fitness = fi
+            save_checkpoint(save_dir / "best", ckpt)
+        if stopper(epoch, fi):
+            break
+    strip_optimizer(save_dir / "best")
+    LOGGER.info(f"Done; best mIoU {best_fitness:.4f}; results in {save_dir}")
+    return best_fitness
+
+
+def parse_opt(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--cfg", type=str, default="resnet50.yaml",
+                   help="semantic model config (resnet18/34/50, vgg16, yolov5_seg, yolov8_seg, yolov9_seg)")
+    p.add_argument("--img-dir", type=str, required=True)
+    p.add_argument("--json-dir", type=str, required=True)
+    p.add_argument("--mask-dir", type=str, default="", help="PNG masks to auto-convert to JSON")
+    p.add_argument("--val-img-dir", type=str, default="")
+    p.add_argument("--val-json-dir", type=str, default="")
+    p.add_argument("--hyp", type=str, default="hyp.scratch-seg.yaml")
+    p.add_argument("--loss", choices=["dice", "jaccard", "ce"], default="dice")
+    p.add_argument("--nc", type=int, default=12)
+    p.add_argument("--ignore-index", type=int, default=11)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--imgsz", "--img-size", type=int, default=640)
+    p.add_argument("--optimizer", choices=["SGD", "Adam", "AdamW"], default="SGD")
+    p.add_argument("--cos-lr", action="store_true")
+    p.add_argument("--label-smoothing", type=float, default=0.0)
+    p.add_argument("--class-weights", type=str, default="", help="weight.yaml / CSV string")
+    p.add_argument("--auto-weights", action="store_true", help="data-driven class weights")
+    p.add_argument("--patience", type=int, default=100)
+    p.add_argument("--project", default=str(ROOT / "runs" / "train-semantic"))
+    p.add_argument("--name", default="exp")
+    p.add_argument("--exist-ok", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--data-parallel", action="store_true")
+    p.add_argument("--device", default="", help="parity flag")
+    p.add_argument("--workers", type=int, default=0, help="parity flag")
+    return p.parse_args(argv)
+
+
+if __name__ == "__main__":
+    train(parse_opt())

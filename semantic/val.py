@@ -1,0 +1,87 @@
+"""Semantic-segmentation validation CLI: confusion-matrix mIoU with
+ignore_index + optional 4-panel visualizations.
+
+Equivalent of reference unet-lite/*/val_diceloss.py:148-293 and test.py.
+
+Usage:
+    python semantic/val.py --weights runs/train-semantic/exp/best \
+        --cfg resnet50.yaml --img-dir data/val_imgs --json-dir data/val_jsons
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+FILE = Path(__file__).resolve()
+ROOT = FILE.parents[1]
+if str(ROOT) not in sys.path:
+    sys.path.insert(0, str(ROOT))
+
+import numpy as np
+
+from yolo_dual_tpu.data import create_json_segment_dataloader
+from yolo_dual_tpu.engine import evaluate_semantic
+from yolo_dual_tpu.losses import SemanticSegLoss
+from yolo_dual_tpu.models.model import SemanticSegModel
+from yolo_dual_tpu.utils.general import LOGGER, increment_path
+
+CONFIGS = ROOT / "yolo_dual_tpu" / "configs"
+CLASS_NAMES = ["sky", "building", "pole", "road", "pavement", "tree", "signsymbol",
+               "fence", "car", "pedestrian", "bicyclist", "unlabelled"]
+
+
+def run(weights="", cfg="resnet50.yaml", img_dir="", json_dir="", imgsz=640,
+        batch_size=16, nc=12, ignore_index=11, loss="dice", visualize=False,
+        project="runs/val-semantic", name="exp", **kw):
+    cfg_path = Path(cfg) if Path(cfg).exists() else CONFIGS / "semantic" / cfg
+    model = SemanticSegModel(cfg_path, nc=nc)
+    variables = model.init(imgsz=imgsz)
+    if weights:
+        from yolo_dual_tpu.train import load_checkpoint
+        ckpt = load_checkpoint(weights)
+        v = ckpt.get("variables", ckpt)
+        if ckpt.get("ema"):
+            v = ckpt["ema"].get("ema", v)
+        variables = v
+    loader, ds = create_json_segment_dataloader(img_dir, json_dir, imgsz, batch_size,
+                                                augment=False, num_classes=nc, drop_last=False)
+    loss_fn = SemanticSegLoss(nc, flavor=loss)
+    (miou, vloss, _, _), per_cls, t = evaluate_semantic(
+        model, variables, loader, nc, ignore_index=ignore_index, loss_fn=loss_fn,
+        verbose=True, names=dict(enumerate(CLASS_NAMES)))
+    if visualize:
+        import jax.numpy as jnp
+        import cv2
+        from yolo_dual_tpu.data.loader import normalize_image
+        from yolo_dual_tpu.utils.plots import semantic_panel
+        save_dir = increment_path(Path(project) / name, mkdir=True)
+        batch = next(iter(loader))
+        out = model.apply(variables, normalize_image(jnp.asarray(batch["image"])), train=False)
+        pred = np.asarray(out.argmax(-1))
+        for i in range(min(4, len(pred))):
+            panel = semantic_panel(batch["image"][i], batch["mask"][i], pred[i])
+            cv2.imwrite(str(save_dir / f"panel_{i}.png"), panel[..., ::-1])
+        LOGGER.info(f"panels saved to {save_dir}")
+    return (miou, vloss, 0.0, 0.0), per_cls, t
+
+
+def parse_opt(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--weights", type=str, default="")
+    p.add_argument("--cfg", type=str, default="resnet50.yaml")
+    p.add_argument("--img-dir", type=str, required=True)
+    p.add_argument("--json-dir", type=str, required=True)
+    p.add_argument("--imgsz", "--img-size", type=int, default=640)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--nc", type=int, default=12)
+    p.add_argument("--ignore-index", type=int, default=11)
+    p.add_argument("--loss", choices=["dice", "jaccard", "ce"], default="dice")
+    p.add_argument("--visualize", action="store_true")
+    p.add_argument("--project", default=str(ROOT / "runs" / "val-semantic"))
+    p.add_argument("--name", default="exp")
+    p.add_argument("--device", default="", help="parity flag")
+    return p.parse_args(argv)
+
+
+if __name__ == "__main__":
+    run(**vars(parse_opt()))

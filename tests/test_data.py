@@ -1,0 +1,146 @@
+"""Data pipeline tests on synthetic on-disk datasets."""
+
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REFERENCE = Path("/root/reference")
+
+
+@pytest.fixture(scope="module")
+def yolo_ds_dir(tmp_path_factory):
+    """Synthetic YOLO-seg dataset: 4 images with polygon labels."""
+    import cv2
+    root = tmp_path_factory.mktemp("ds")
+    (root / "images" / "train").mkdir(parents=True)
+    (root / "labels" / "train").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        img = (rng.uniform(0, 255, (96 + 8 * i, 128, 3))).astype(np.uint8)
+        cv2.imwrite(str(root / "images" / "train" / f"im{i}.jpg"), img)
+        rows = []
+        for _ in range(rng.integers(1, 4)):
+            cx, cy = rng.uniform(0.3, 0.7, 2)
+            r = rng.uniform(0.08, 0.2)
+            pts = [(cx + r * np.cos(t), cy + r * np.sin(t)) for t in np.linspace(0, 2 * np.pi, 8)[:-1]]
+            pts = [(min(max(x, 0.01), 0.99), min(max(y, 0.01), 0.99)) for x, y in pts]
+            flat = " ".join(f"{v:.4f}" for xy in pts for v in xy)
+            rows.append(f"{rng.integers(0, 3)} {flat}")
+        (root / "labels" / "train" / f"im{i}.txt").write_text("\n".join(rows))
+    return root
+
+
+def test_yolo_dataset_fixed_shapes(yolo_ds_dir):
+    from yolo_dual_tpu.data import YoloDataset
+    ds = YoloDataset(str(yolo_ds_dir / "images" / "train"), imgsz=96, augment=False,
+                     task="segment", mask_ratio=4, overlap=True, max_labels=10)
+    assert len(ds) == 4
+    for i in range(4):
+        s = ds[i]
+        assert s["image"].shape == (96, 96, 3) and s["image"].dtype == np.uint8
+        assert s["targets"].shape == (10, 5)
+        assert s["tmask"].shape == (10,)
+        assert s["masks"].shape == (24, 24)
+        n = int(s["tmask"].sum())
+        assert n >= 1
+        # overlap encoding: values 0..n
+        assert s["masks"].max() <= n
+        # normalized boxes in [0,1]
+        assert (s["targets"][:n, 1:] >= 0).all() and (s["targets"][:n, 1:] <= 1).all()
+
+
+def test_yolo_dataset_cache_roundtrip(yolo_ds_dir):
+    from yolo_dual_tpu.data import YoloDataset
+    ds1 = YoloDataset(str(yolo_ds_dir / "images" / "train"), imgsz=96, task="detect")
+    assert (yolo_ds_dir / "labels" / "train.cache").exists()
+    ds2 = YoloDataset(str(yolo_ds_dir / "images" / "train"), imgsz=96, task="detect")
+    for a, b in zip(ds1.labels, ds2.labels):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_mosaic_and_augment_run(yolo_ds_dir):
+    from yolo_dual_tpu.data import YoloDataset
+    hyp = dict(mosaic=1.0, mixup=0.5, copy_paste=0.1, degrees=5, translate=0.1,
+               scale=0.5, shear=2, perspective=0.0, hsv_h=0.015, hsv_s=0.7,
+               hsv_v=0.4, flipud=0.5, fliplr=0.5)
+    ds = YoloDataset(str(yolo_ds_dir / "images" / "train"), imgsz=96, augment=True,
+                     hyp=hyp, task="segment", mask_ratio=4, overlap=True, max_labels=20)
+    for i in range(4):
+        s = ds[i]
+        assert s["image"].shape == (96, 96, 3)
+        assert s["masks"].shape == (24, 24)
+
+
+def test_loader_batching_and_padding(yolo_ds_dir):
+    from yolo_dual_tpu.data import YoloDataset, Loader
+    ds = YoloDataset(str(yolo_ds_dir / "images" / "train"), imgsz=96, task="detect")
+    loader = Loader(ds, batch_size=3, shuffle=True, drop_last=False)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0]["image"].shape == (3, 96, 96, 3)
+    assert batches[1]["image"].shape == (3, 96, 96, 3)  # padded to static shape
+    assert int(batches[1]["n_valid"]) == 1
+    # deterministic per-epoch shuffling
+    loader.set_epoch(0)
+    a = [b["image"].sum() for b in loader]
+    loader.set_epoch(0)
+    b = [b["image"].sum() for b in loader]
+    assert a == b
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference checkout unavailable")
+def test_polygons2masks_overlap_parity(rng):
+    from test_torch_parity import _stub_torchvision
+    _stub_torchvision()
+    if str(REFERENCE) not in sys.path:
+        sys.path.insert(0, str(REFERENCE))
+    from utils.segment.dataloaders import polygons2masks_overlap as ref_fn
+    from yolo_dual_tpu.data.augment import polygons2masks_overlap
+
+    segs = []
+    for _ in range(3):
+        cx, cy = rng.uniform(20, 70, 2)
+        r = rng.uniform(8, 20)
+        pts = np.array([(cx + r * np.cos(t), cy + r * np.sin(t))
+                        for t in np.linspace(0, 2 * np.pi, 12)[:-1]], np.float32)
+        segs.append(pts)
+    ours, our_idx = polygons2masks_overlap((96, 96), segs, downsample_ratio=2)
+    ref, ref_idx = ref_fn((96, 96), [s.copy() for s in segs], downsample_ratio=2)
+    np.testing.assert_array_equal(our_idx, np.asarray(ref_idx))
+    np.testing.assert_array_equal(ours, np.asarray(ref))
+
+
+def test_json_semantic_dataset(tmp_path):
+    import cv2
+    img_dir = tmp_path / "imgs"
+    json_dir = tmp_path / "jsons"
+    img_dir.mkdir()
+    json_dir.mkdir()
+    rng = np.random.default_rng(1)
+    for i in range(3):
+        img = rng.uniform(0, 255, (48, 64, 3)).astype(np.uint8)
+        cv2.imwrite(str(img_dir / f"f{i}.png"), img)
+        mask = rng.integers(0, 12, (48, 64)).astype(np.uint8)
+        cv2.imwrite(str(tmp_path / f"m{i}.png"), mask)
+        from yolo_dual_tpu.data import mask_to_json
+        mask_to_json(tmp_path / f"m{i}.png", json_dir / f"f{i}.json")
+
+    from yolo_dual_tpu.data import JSONSegmentDataset, verify_json_masks, create_json_segment_dataloader
+    ok, missing = verify_json_masks(img_dir, json_dir)
+    assert ok, missing
+    ds = JSONSegmentDataset(img_dir, json_dir, img_size=64, augment=True, num_classes=12)
+    s = ds[0]
+    assert s["image"].shape == (64, 64, 3)
+    assert s["mask"].shape == (64, 64)
+    assert s["mask"].max() < 12
+    w = ds.class_weights()
+    assert w.shape == (12,) and np.isfinite(w).all()
+
+    loader, _ = create_json_segment_dataloader(img_dir, json_dir, img_size=64, batch_size=2,
+                                               augment=False)
+    b = next(iter(loader))
+    assert b["image"].shape == (2, 64, 64, 3)
+    assert b["mask"].shape == (2, 64, 64)

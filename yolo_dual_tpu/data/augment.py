@@ -1,0 +1,216 @@
+"""Host-side augmentations (numpy/cv2) for the detection/instance-seg pipeline.
+
+Capability parity with reference utils/augmentations.py (letterbox :111-141,
+random_perspective :144-237, augment_hsv :67-87, copy_paste :240, mixup :289)
+and utils/segment/augmentations.py (segment-aware variants :16-104). The hot
+normalize step runs on device (see data/loader.py); these CPU transforms
+produce uint8 HWC images + polygon segments.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import List, Optional, Tuple
+
+import cv2
+import numpy as np
+
+
+def letterbox(im: np.ndarray, new_shape=(640, 640), color=(114, 114, 114),
+              auto: bool = False, scaleFill: bool = False, scaleup: bool = True,
+              stride: int = 32):
+    """Aspect-preserving resize + pad (reference utils/augmentations.py:111-141)."""
+    shape = im.shape[:2]
+    if isinstance(new_shape, int):
+        new_shape = (new_shape, new_shape)
+    r = min(new_shape[0] / shape[0], new_shape[1] / shape[1])
+    if not scaleup:
+        r = min(r, 1.0)
+    ratio = r, r
+    new_unpad = int(round(shape[1] * r)), int(round(shape[0] * r))
+    dw, dh = new_shape[1] - new_unpad[0], new_shape[0] - new_unpad[1]
+    if auto:
+        dw, dh = np.mod(dw, stride), np.mod(dh, stride)
+    elif scaleFill:
+        dw, dh = 0.0, 0.0
+        new_unpad = (new_shape[1], new_shape[0])
+        ratio = new_shape[1] / shape[1], new_shape[0] / shape[0]
+    dw /= 2
+    dh /= 2
+    if shape[::-1] != new_unpad:
+        im = cv2.resize(im, new_unpad, interpolation=cv2.INTER_LINEAR)
+    top, bottom = int(round(dh - 0.1)), int(round(dh + 0.1))
+    left, right = int(round(dw - 0.1)), int(round(dw + 0.1))
+    im = cv2.copyMakeBorder(im, top, bottom, left, right, cv2.BORDER_CONSTANT, value=color)
+    return im, ratio, (dw, dh)
+
+
+def augment_hsv(im: np.ndarray, hgain=0.5, sgain=0.5, vgain=0.5, rng=None):
+    """Random HSV jitter in-place-style (reference utils/augmentations.py:67-87)."""
+    rng = rng or random
+    if hgain or sgain or vgain:
+        r = np.array([rng.uniform(-1, 1) for _ in range(3)]) * [hgain, sgain, vgain] + 1
+        hue, sat, val = cv2.split(cv2.cvtColor(im, cv2.COLOR_RGB2HSV))
+        x = np.arange(0, 256, dtype=r.dtype)
+        lut_hue = ((x * r[0]) % 180).astype(im.dtype)
+        lut_sat = np.clip(x * r[1], 0, 255).astype(im.dtype)
+        lut_val = np.clip(x * r[2], 0, 255).astype(im.dtype)
+        im_hsv = cv2.merge((cv2.LUT(hue, lut_hue), cv2.LUT(sat, lut_sat), cv2.LUT(val, lut_val)))
+        im = cv2.cvtColor(im_hsv, cv2.COLOR_HSV2RGB)
+    return im
+
+
+def xyn2xy(seg: np.ndarray, w: float, h: float, padw: float = 0, padh: float = 0):
+    out = seg.copy()
+    out[:, 0] = seg[:, 0] * w + padw
+    out[:, 1] = seg[:, 1] * h + padh
+    return out
+
+
+def segment2box(segment: np.ndarray, width: float, height: float):
+    x, y = segment[:, 0], segment[:, 1]
+    inside = (x >= 0) & (y >= 0) & (x <= width) & (y <= height)
+    x, y = x[inside], y[inside]
+    return np.array([x.min(), y.min(), x.max(), y.max()]) if any(x) else np.zeros(4)
+
+
+def resample_segments(segments: List[np.ndarray], n: int = 1000):
+    """Up-sample polygons to n points each (reference utils/general.py:816-827)."""
+    out = []
+    for s in segments:
+        s = np.concatenate((s, s[0:1, :]), axis=0)
+        x = np.linspace(0, len(s) - 1, n)
+        xp = np.arange(len(s))
+        out.append(np.concatenate([np.interp(x, xp, s[:, i]) for i in range(2)]).reshape(2, -1).T)
+    return out
+
+
+def random_perspective(im, targets=(), segments=(), degrees=10, translate=0.1, scale=0.1,
+                       shear=10, perspective=0.0, border=(0, 0), rng=None):
+    """Random affine/perspective warp of image + labels + polygons
+    (reference utils/segment/augmentations.py:16-88)."""
+    rng = rng or random
+    height = im.shape[0] + border[0] * 2
+    width = im.shape[1] + border[1] * 2
+
+    C = np.eye(3)
+    C[0, 2] = -im.shape[1] / 2
+    C[1, 2] = -im.shape[0] / 2
+    P = np.eye(3)
+    P[2, 0] = rng.uniform(-perspective, perspective)
+    P[2, 1] = rng.uniform(-perspective, perspective)
+    R = np.eye(3)
+    a = rng.uniform(-degrees, degrees)
+    s = rng.uniform(1 - scale, 1 + scale)
+    R[:2] = cv2.getRotationMatrix2D(angle=a, center=(0, 0), scale=s)
+    S = np.eye(3)
+    S[0, 1] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
+    S[1, 0] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
+    T = np.eye(3)
+    T[0, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * width
+    T[1, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * height
+
+    M = T @ S @ R @ P @ C
+    if (border[0] != 0) or (border[1] != 0) or (M != np.eye(3)).any():
+        if perspective:
+            im = cv2.warpPerspective(im, M, dsize=(width, height), borderValue=(114, 114, 114))
+        else:
+            im = cv2.warpAffine(im, M[:2], dsize=(width, height), borderValue=(114, 114, 114))
+
+    n = len(targets)
+    new_segments = []
+    if n:
+        new = np.zeros((n, 4))
+        segments = resample_segments(segments)
+        for i, segment in enumerate(segments):
+            xy = np.ones((len(segment), 3))
+            xy[:, :2] = segment
+            xy = xy @ M.T
+            xy = (xy[:, :2] / xy[:, 2:3] if perspective else xy[:, :2])
+            new[i] = segment2box(xy, width, height)
+            new_segments.append(xy)
+        i = box_candidates(box1=targets[:, 1:5].T * s, box2=new.T, area_thr=0.01)
+        targets = targets[i]
+        targets[:, 1:5] = new[i]
+        new_segments = [new_segments[j] for j, keep in enumerate(i) if keep]
+    return im, targets, new_segments
+
+
+def box_candidates(box1, box2, wh_thr=2, ar_thr=100, area_thr=0.1, eps=1e-16):
+    """Filter degenerate post-warp boxes (reference utils/augmentations.py:240)."""
+    w1, h1 = box1[2] - box1[0], box1[3] - box1[1]
+    w2, h2 = box2[2] - box2[0], box2[3] - box2[1]
+    ar = np.maximum(w2 / (h2 + eps), h2 / (w2 + eps))
+    return (w2 > wh_thr) & (h2 > wh_thr) & (w2 * h2 / (w1 * h1 + eps) > area_thr) & (ar < ar_thr)
+
+
+def copy_paste(im, labels, segments, p=0.5, rng=None):
+    """Copy-paste (segment flip-duplication) augmentation
+    (reference utils/augmentations.py:240-270)."""
+    rng = rng or random
+    n = len(segments)
+    if p and n:
+        h, w, _ = im.shape
+        im_new = np.zeros(im.shape, np.uint8)
+        from yolo_dual_tpu.ops.boxes import bbox_ioa
+        import jax.numpy as jnp
+        for j in rng.sample(range(n), k=round(p * n)):
+            l, seg = labels[j], segments[j]
+            box = w - l[3], l[2], w - l[1], l[4]
+            ioa = np.asarray(bbox_ioa(jnp.asarray(np.array([box], np.float32)),
+                                      jnp.asarray(labels[:, 1:5].astype(np.float32))))[0]
+            if (ioa < 0.30).all():
+                labels = np.concatenate((labels, [[l[0], *box]]), 0)
+                segments.append(np.concatenate((w - seg[:, 0:1], seg[:, 1:2]), 1))
+                cv2.drawContours(im_new, [seg.astype(np.int32)], -1, (1, 1, 1), cv2.FILLED)
+        result = cv2.flip(im, 1)
+        i = cv2.flip(im_new, 1).astype(bool)
+        im[i] = result[i]
+    return im, labels, segments
+
+
+def mixup(im, labels, segments, im2, labels2, segments2, rng=None):
+    """Beta(32,32) image blend (reference utils/segment/augmentations.py:91-104)."""
+    r = np.random.beta(32.0, 32.0)
+    im = (im * r + im2 * (1 - r)).astype(np.uint8)
+    labels = np.concatenate((labels, labels2), 0)
+    segments = list(segments) + list(segments2)
+    return im, labels, segments
+
+
+def polygon2mask(img_size: Tuple[int, int], polygons, color: int = 1,
+                 downsample_ratio: int = 1) -> np.ndarray:
+    """Rasterize one polygon (reference utils/segment/dataloaders.py:274-289)."""
+    mask = np.zeros(img_size, dtype=np.uint8)
+    polygons = np.asarray(polygons).astype(np.int32).reshape(-1, 2)
+    cv2.fillPoly(mask, [polygons], color=color)
+    nh, nw = (img_size[0] // downsample_ratio, img_size[1] // downsample_ratio)
+    return cv2.resize(mask, (nw, nh))
+
+
+def polygons2masks(img_size, polygons, color, downsample_ratio=1):
+    return np.array([polygon2mask(img_size, [p.reshape(-1)], color, downsample_ratio)
+                     for p in polygons])
+
+
+def polygons2masks_overlap(img_size, segments, downsample_ratio=1):
+    """All instances in ONE index-encoded plane, sorted by area descending so
+    small objects overwrite big ones; returns (mask, sorted_index)
+    (reference utils/segment/dataloaders.py:309-331)."""
+    mask = np.zeros((img_size[0] // downsample_ratio, img_size[1] // downsample_ratio),
+                    dtype=np.int32 if len(segments) > 255 else np.uint8)
+    areas = []
+    ms = []
+    for si in range(len(segments)):
+        m = polygon2mask(img_size, [segments[si].reshape(-1)], 1, downsample_ratio)
+        ms.append(m)
+        areas.append(m.sum())
+    areas = np.asarray(areas)
+    index = np.argsort(-areas)
+    ms = np.array(ms)[index]
+    for i in range(len(segments)):
+        m = ms[i] * (i + 1)
+        mask = mask + m
+        mask = np.clip(mask, a_min=0, a_max=i + 1)
+    return mask, index

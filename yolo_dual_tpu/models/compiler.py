@@ -308,7 +308,8 @@ def _adapt_args(name: str, args: list, n: int, default_act) -> Tuple[dict, int]:
     if name in ("DCNv2", "DCNV3_YoLo"):
         return actkw(dict(zip(["c2", "k", "s", "p", "g", "d", "act"], a))), n
     if name in ("AttentionConv", "AttentionStem"):
-        return dict(zip(["c2", "k", "s", "groups"], a)), n
+        # reference signature (c1, c2, kernel, stride, padding, groups)
+        return dict(zip(["c2", "k", "s", "p", "groups"], a)), n
     if name in _TV_STAGES:
         return {"c2": a[0]}, n
     # default: pass positionals straight through as c2-first

@@ -86,8 +86,9 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _forward_loss(self, params, batch_stats, batch, rngs=None):
+        from yolo_dual_tpu.data.loader import normalize_image
         variables = {"params": params, "batch_stats": batch_stats}
-        x = batch["image"]
+        x = normalize_image(batch["image"])
         if self.task == "semantic":
             out, upd = self.model.module.apply(variables, x, train=True,
                                                mutable=["batch_stats"], rngs=rngs)
@@ -137,16 +138,18 @@ class Trainer:
             # rely on input shardings propagating; constrain batch on 'data'
             def sharded_step(state, batch):
                 batch = jax.tree_util.tree_map(
-                    lambda x: jax.lax.with_sharding_constraint(x, data), batch)
+                    lambda x: jax.lax.with_sharding_constraint(x, data)
+                    if jnp.ndim(x) >= 1 else x, batch)
                 return step(state, batch)
             return jax.jit(sharded_step, donate_argnums=(0,) if donate else ())
         return jax.jit(step, donate_argnums=(0,) if donate else ())
 
     def make_eval_step(self) -> Callable:
         def step(state: TrainState, batch):
+            from yolo_dual_tpu.data.loader import normalize_image
             variables = state.ema["ema"] if (self.ema and state.ema is not None) else \
                 {"params": state.params, "batch_stats": state.batch_stats}
-            x = batch["image"]
+            x = normalize_image(batch["image"])
             if self.task == "semantic":
                 out = self.model.module.apply(variables, x, train=False)
                 from yolo_dual_tpu.nn.common import resize_bilinear
