@@ -1,0 +1,114 @@
+"""Model export CLI.
+
+The reference's `DetectMultiBackend._model_type` imports `export_formats` from
+an `export.py` that does not exist in that repo (reference
+models/common.py:607 — a shipped defect). This framework ships the real thing:
+
+  - torchpt    : reference-style state_dict .pt (usable by the PyTorch
+                 ecosystem and re-importable here)
+  - savedmodel : TF SavedModel via jax2tf (serving / TF-Lite toolchains)
+  - tflite     : TFLite flatbuffer converted from the SavedModel
+
+Usage:
+    python export.py --weights runs/train-seg/exp/best --cfg yolov5s-seg.yaml \
+        --include torchpt savedmodel --imgsz 640
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+FILE = Path(__file__).resolve()
+ROOT = FILE.parent
+if str(ROOT) not in sys.path:
+    sys.path.insert(0, str(ROOT))
+
+from yolo_dual_tpu.utils.general import LOGGER
+
+
+def export_formats():
+    """Supported formats table (the API the reference's DetectMultiBackend
+    expects from export.py)."""
+    return [
+        ["Orbax checkpoint", "orbax", "", True],
+        ["PyTorch state_dict", "torchpt", ".pt", True],
+        ["TF SavedModel", "savedmodel", "_saved_model", True],
+        ["TFLite", "tflite", ".tflite", True],
+    ]
+
+
+def load_model(weights, cfg, nc, imgsz):
+    sys.path.insert(0, str(ROOT / "segment"))
+    from val import load_model_and_weights
+    return load_model_and_weights(weights, cfg, nc, imgsz)
+
+
+def export_torchpt(model, variables, out: Path):
+    import torch
+    from yolo_dual_tpu.train.checkpoint import export_torch_state_dict
+    sd = {k: torch.tensor(v) for k, v in export_torch_state_dict(variables, model.spec).items()}
+    torch.save({"model": sd, "format": "yolo_dual_tpu-state_dict"}, out)
+    LOGGER.info(f"exported torch state_dict -> {out}")
+    return out
+
+
+def export_savedmodel(model, variables, imgsz: int, out: Path):
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    def fwd(x):
+        pred, protos, _ = model.module.apply(variables, x, train=False)
+        return {"pred": pred, "protos": protos}
+
+    tf_fn = tf.function(
+        jax2tf.convert(fwd, with_gradient=False),
+        input_signature=[tf.TensorSpec((1, imgsz, imgsz, 3), tf.float32)],
+        autograph=False)
+    m = tf.Module()
+    m.f = tf_fn
+    tf.saved_model.save(m, str(out))
+    LOGGER.info(f"exported SavedModel -> {out}")
+    return out
+
+
+def export_tflite(saved_model_dir: Path, out: Path):
+    import tensorflow as tf
+    converter = tf.lite.TFLiteConverter.from_saved_model(str(saved_model_dir))
+    converter.target_spec.supported_ops = [tf.lite.OpsSet.TFLITE_BUILTINS,
+                                           tf.lite.OpsSet.SELECT_TF_OPS]
+    out.write_bytes(converter.convert())
+    LOGGER.info(f"exported TFLite -> {out}")
+    return out
+
+
+def run(weights="", cfg="yolov5s-seg.yaml", nc=80, imgsz=640,
+        include=("torchpt",), out_dir="runs/export"):
+    model, variables = load_model(weights, cfg, nc, imgsz)
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    stem = Path(cfg).stem
+    results = {}
+    if "torchpt" in include:
+        results["torchpt"] = export_torchpt(model, variables, out_dir / f"{stem}.pt")
+    if "savedmodel" in include or "tflite" in include:
+        sm = export_savedmodel(model, variables, imgsz, out_dir / f"{stem}_saved_model")
+        results["savedmodel"] = sm
+        if "tflite" in include:
+            results["tflite"] = export_tflite(sm, out_dir / f"{stem}.tflite")
+    return results
+
+
+def parse_opt(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--weights", type=str, default="")
+    p.add_argument("--cfg", type=str, default="yolov5s-seg.yaml")
+    p.add_argument("--nc", type=int, default=80)
+    p.add_argument("--imgsz", type=int, default=640)
+    p.add_argument("--include", nargs="+", default=["torchpt"],
+                   choices=["torchpt", "savedmodel", "tflite"])
+    p.add_argument("--out-dir", default=str(ROOT / "runs" / "export"))
+    return p.parse_args(argv)
+
+
+if __name__ == "__main__":
+    run(**vars(parse_opt()))

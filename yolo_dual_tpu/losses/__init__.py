@@ -5,3 +5,4 @@ from yolo_dual_tpu.losses.semantic import (  # noqa: F401
 )
 from yolo_dual_tpu.losses.detect import ComputeLoss, smooth_bce  # noqa: F401
 from yolo_dual_tpu.losses.segment import ComputeSegmentLoss  # noqa: F401
+from yolo_dual_tpu.losses.ota import ComputeLossOTA, ComputeLossAuxOTA  # noqa: F401

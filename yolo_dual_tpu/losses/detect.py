@@ -68,7 +68,7 @@ class Assignment:
 
 def build_targets_level(targets: jnp.ndarray, tmask: jnp.ndarray,
                         anchors_l: jnp.ndarray, ny: int, nx: int,
-                        anchor_t: float) -> Assignment:
+                        anchor_t: float, bias: float = 0.5) -> Assignment:
     """Assignment for one level (reference utils/segment/loss.py:118-186 /
     utils/loss.py:171-234 without compaction).
 
@@ -90,18 +90,19 @@ def build_targets_level(targets: jnp.ndarray, tmask: jnp.ndarray,
     compat = jnp.maximum(r, 1.0 / r).max(-1) < anchor_t
     base = valid0[None, :] & compat
 
-    # neighbor-cell selection (reference g=0.5 bias)
+    # neighbor-cell selection (reference g=0.5 bias; AuxOTA aux branch uses 1.0)
+    g = bias
     gxy = txy
     gxi = jnp.asarray([nx, ny], jnp.float32) - gxy
-    jj = (gxy[:, 0] % 1 < 0.5) & (gxy[:, 0] > 1)
-    kk = (gxy[:, 1] % 1 < 0.5) & (gxy[:, 1] > 1)
-    ll = (gxi[:, 0] % 1 < 0.5) & (gxi[:, 0] > 1)
-    mm = (gxi[:, 1] % 1 < 0.5) & (gxi[:, 1] > 1)
+    jj = (gxy[:, 0] % 1 < g) & (gxy[:, 0] > 1)
+    kk = (gxy[:, 1] % 1 < g) & (gxy[:, 1] > 1)
+    ll = (gxi[:, 0] % 1 < g) & (gxi[:, 0] > 1)
+    mm = (gxi[:, 1] % 1 < g) & (gxi[:, 1] > 1)
     sel = jnp.stack([jnp.ones_like(jj), jj, kk, ll, mm])  # (5, nt)
 
     valid = (sel[:, None, :] & base[None, :, :]).reshape(-1)  # (5*na*nt,)
 
-    off = jnp.asarray(_OFFSETS)  # (5,2)
+    off = jnp.asarray(_OFFSETS) * (g / 0.5)  # (5,2)
     gxy_off = gxy[None, :, :] - off[:, None, :]               # (5, nt, 2)
     gij = jnp.floor(gxy_off)
     gi = jnp.clip(gij[..., 0], 0, nx - 1).astype(jnp.int32)   # (5, nt)

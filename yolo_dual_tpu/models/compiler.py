@@ -123,7 +123,7 @@ def _populate_registry():
         "SimConv": S.SimConv, "SimSPPF": S.SimSPPF, "ASPP": S.ASPP,
         "RFB": S.RFB, "SPPCSPC": S.SPPCSPC, "SPPCSPC_group": S.SPPCSPC_group,
         "SimCSPSPPF": S.SimCSPSPPF,
-        "Detect": H.Detect, "Segment": H.Segment,
+        "Detect": H.Detect, "Segment": H.Segment, "DetectAux": H.DetectAux,
     }.items():
         register_module(nm, simple(cls))
 
@@ -415,14 +415,18 @@ def parse_config(d: dict, ch: int = 3, nc: Optional[int] = None,
             c2 = in_ch(f if isinstance(f, int) else f[0])
 
         if name in ("Detect", "Segment"):
-            ch_list = tuple(in_ch(x) for x in f)
             head_anchors = args[1]
+            n_levels = len(head_anchors) if isinstance(head_anchors, list) else None
+            if name == "Detect" and n_levels and len(f) == 2 * n_levels:
+                name = "DetectAux"  # AuxOTA dual-head config (loss/yolov5n_auxota.yaml)
+            ch_list = tuple(in_ch(x) for x in f)
             if isinstance(head_anchors, int):
                 # AutoAnchor placeholder: `anchors: 3` means 3 anchors per level,
                 # evolved later (reference models/yolo.py:337-338)
                 head_anchors = [list(range(head_anchors * 2))] * len(f)
+            n_str = len(f) // 2 if name == "DetectAux" else len(f)
             kw = {"nc": args[0], "anchors": _freeze(head_anchors),
-                  "strides": tuple(2 ** (3 + j) for j in range(len(f)))}
+                  "strides": tuple(2 ** (3 + j) for j in range(n_str))}
             if name == "Segment":
                 kw["nm"] = args[2] if len(args) > 2 else 32
                 kw["npr"] = make_divisible(args[3] * gw, 8) if len(args) > 3 else 256
@@ -459,7 +463,7 @@ def with_strides(spec: ModelSpec, strides: Sequence[int]) -> ModelSpec:
     """
     layers = list(spec.layers)
     head = layers[-1]
-    if head.name not in ("Detect", "Segment"):
+    if head.name not in ("Detect", "Segment", "DetectAux"):
         return dataclasses.replace(spec, strides=tuple(strides))
     kw = dict(head.kwargs)
     anchors = [list(a) for a in kw["anchors"]]

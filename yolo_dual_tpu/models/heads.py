@@ -114,3 +114,35 @@ class Segment(nn.Module):
             pred, raw = det
             return pred, protos, raw
         return det, protos
+
+
+class DetectAux(nn.Module):
+    """Dual-head Detect for AuxOTA training (reference models/yolo_AuxOTA.py):
+    2·nl inputs — the first nl are the lead head, the rest auxiliary. Training
+    returns raw maps for both; inference decodes the lead head only."""
+
+    nc: int
+    anchors: Tuple[Tuple[float, ...], ...]
+    strides: Tuple[int, ...]
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jnp.ndarray], train: bool = False,
+                 decode: Optional[bool] = None):
+        if decode is None:
+            decode = not train
+        nl = len(self.anchors)
+        assert len(xs) == 2 * nl, f"DetectAux expects {2*nl} inputs, got {len(xs)}"
+        lead = Detect(self.nc, self.anchors, self.strides, dtype=self.dtype, name="lead")
+        out = lead(xs[:nl], train=train, decode=decode)
+        na = len(self.anchors[0]) // 2
+        no = self.nc + 5
+        aux_raw = []
+        for i, x in enumerate(xs[nl:]):
+            bs, ny, nx, _ = x.shape
+            p = nn.Conv(no * na, (1, 1), use_bias=True, dtype=self.dtype, name=f"m_aux_{i}")(x)
+            aux_raw.append(p.reshape(bs, ny, nx, na, no).transpose(0, 3, 1, 2, 4))
+        if decode:
+            pred, raw = out
+            return pred, raw + aux_raw
+        return out + aux_raw

@@ -63,7 +63,7 @@ class GraphModel(nn.Module):
                 inp = out
             else:
                 inp = y[f]
-            if layer.name in ("Detect", "Segment"):
+            if layer.name in ("Detect", "Segment", "DetectAux"):
                 mod = build_module(layer.name, layer.kw(), self.dtype, f"model_{layer.i}")
                 out = mod(inp, train=train, decode=decode)
             elif layer.n > 1:
@@ -88,7 +88,7 @@ def _probe_strides(spec: ModelSpec, dtype=None) -> ModelSpec:
     """Shape-probe the network at 256px to derive head strides
     (reference models/yolo.py:190-197)."""
     head = spec.layers[-1]
-    if head.name not in ("Detect", "Segment"):
+    if head.name not in ("Detect", "Segment", "DetectAux"):
         return spec
     model = GraphModel(spec, dtype)
     s = 256
@@ -97,6 +97,8 @@ def _probe_strides(spec: ModelSpec, dtype=None) -> ModelSpec:
     shapes = jax.eval_shape(lambda v, xx: model.apply(v, xx, train=False, decode=False), vars_shapes, x)
     # raw output: Detect -> [levels]; Segment -> ([levels], protos)
     levels = shapes[0] if head.name == "Segment" else shapes
+    if head.name == "DetectAux":
+        levels = levels[: len(levels) // 2]
     strides = [s // lvl.shape[2] for lvl in levels]  # lvl: (bs, na, ny, nx, no)
     return with_strides(spec, strides)
 
@@ -104,7 +106,7 @@ def _probe_strides(spec: ModelSpec, dtype=None) -> ModelSpec:
 def initialize_detect_biases(variables, spec: ModelSpec, cf=None):
     """Focal-style prior init of Detect conv biases (reference models/yolo.py:253-261)."""
     head = spec.layers[-1]
-    if head.name not in ("Detect", "Segment"):
+    if head.name not in ("Detect", "Segment", "DetectAux"):
         return variables
     kw = head.kw()
     nc = kw["nc"]
@@ -113,7 +115,11 @@ def initialize_detect_biases(variables, spec: ModelSpec, cf=None):
     na = len(anchors[0]) // 2
     params = variables["params"]
     hname = f"model_{head.i}"
-    hparams = params[hname]["detect"] if head.name == "Segment" else params[hname]
+    hparams = params[hname]
+    if head.name == "Segment":
+        hparams = hparams["detect"]
+    elif head.name == "DetectAux":
+        hparams = hparams["lead"]
     for i, s in enumerate(strides):
         b = np.array(hparams[f"m_{i}"]["bias"]).reshape(na, -1)
         b[:, 4] += math.log(8 / (640 / s) ** 2)
@@ -151,7 +157,7 @@ class BaseModel:
         variables = self.module.init(rng, x, train=True)
         variables = jax.tree_util.tree_map(np.asarray, variables)  # mutable pytree of np arrays
         variables = _to_mutable(variables)
-        if bias_prior and self.spec.layers[-1].name in ("Detect", "Segment"):
+        if bias_prior and self.spec.layers[-1].name in ("Detect", "Segment", "DetectAux"):
             variables = initialize_detect_biases(variables, self.spec)
         return variables
 
