@@ -85,7 +85,7 @@ def bench_train(bs=16, imgsz=640, n1=2, n2=8):
     variables = model.init(imgsz=imgsz)
     head_kw = model.spec.layers[-1].kw()
     loss = ComputeSegmentLoss(head_kw["anchors"], head_kw["strides"], 80, 32, hyp,
-                              overlap=True, pos_capacity=1024)
+                              overlap=True, pos_capacity=128)
     tx = smart_optimizer(variables["params"], "SGD", hyp, epochs=1, steps_per_epoch=100)
     tr = Trainer(model, loss, tx, ema=ModelEMA(), task="segment")
     state0 = tr.init_state(variables)

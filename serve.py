@@ -1,0 +1,110 @@
+"""Minimal HTTP model server.
+
+Capability parity with the reference's serving hook (utils/triton.py
+TritonRemoteModel — a client for an external Triton server): here the
+framework serves itself. POST a JPEG/PNG to /predict and get JSON detections
+back; the compiled forward + NMS stays resident on the TPU.
+
+Usage:
+    python serve.py --weights runs/train-seg/exp/best --cfg yolov5s-seg.yaml --port 8507
+    curl -s -X POST --data-binary @img.jpg localhost:8507/predict | jq .
+"""
+
+import argparse
+import json
+import sys
+from http.server import BaseHTTPRequestHandler, HTTPServer
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent
+if str(ROOT) not in sys.path:
+    sys.path.insert(0, str(ROOT))
+
+import numpy as np
+
+from yolo_dual_tpu.utils.general import LOGGER
+
+
+def main(opt):
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, str(ROOT / "segment"))
+    from val import find_cfg, load_model_and_weights
+    from yolo_dual_tpu.data.augment import letterbox
+    from yolo_dual_tpu.ops import scale_boxes
+    from yolo_dual_tpu.ops.nms import nms_batched
+
+    model, variables = load_model_and_weights(opt.weights, opt.cfg, opt.nc, opt.imgsz)
+    head_kw = model.spec.layers[-1].kw()
+    nm = head_kw.get("nm", 32)
+
+    @jax.jit
+    def infer(v, x):
+        pred, protos, _ = model.module.apply(v, x.astype(jnp.float32) / 255.0, train=False)
+        out, nv = nms_batched(pred, conf_thres=opt.conf_thres, iou_thres=opt.iou_thres,
+                              max_det=opt.max_det, nm=nm)
+        return out, nv
+
+    # warmup so first request is fast
+    infer(variables, jnp.zeros((1, opt.imgsz, opt.imgsz, 3), jnp.uint8))
+    LOGGER.info(f"model ready on port {opt.port}")
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            if self.path != "/predict":
+                self.send_error(404)
+                return
+            n = int(self.headers.get("Content-Length", 0))
+            img = cv2.imdecode(np.frombuffer(self.rfile.read(n), np.uint8), cv2.IMREAD_COLOR)
+            if img is None:
+                self.send_error(400, "not an image")
+                return
+            im0_shape = img.shape
+            im, _, _ = letterbox(cv2.cvtColor(img, cv2.COLOR_BGR2RGB), opt.imgsz, auto=False)
+            out, nv = infer(variables, jnp.asarray(im[None]))
+            k = int(np.asarray(nv)[0])
+            dets = np.asarray(out)[0, :k]
+            boxes = np.asarray(scale_boxes((opt.imgsz, opt.imgsz), jnp.asarray(dets[:, :4]), im0_shape))
+            body = json.dumps({
+                "detections": [
+                    {"box": [float(v) for v in b], "conf": float(c), "cls": int(cl)}
+                    for b, c, cl in zip(boxes, dets[:, 4], dets[:, 5])
+                ]
+            }).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self.send_response(200)
+                self.end_headers()
+                self.wfile.write(b"ok")
+            else:
+                self.send_error(404)
+
+        def log_message(self, fmt, *args):
+            LOGGER.info("serve: " + fmt % args)
+
+    HTTPServer(("0.0.0.0", opt.port), Handler).serve_forever()
+
+
+def parse_opt(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--weights", default="")
+    p.add_argument("--cfg", default="yolov5s-seg.yaml")
+    p.add_argument("--nc", type=int, default=80)
+    p.add_argument("--imgsz", type=int, default=640)
+    p.add_argument("--conf-thres", type=float, default=0.25)
+    p.add_argument("--iou-thres", type=float, default=0.45)
+    p.add_argument("--max-det", type=int, default=300)
+    p.add_argument("--port", type=int, default=8507)
+    return p.parse_args(argv)
+
+
+if __name__ == "__main__":
+    main(parse_opt())

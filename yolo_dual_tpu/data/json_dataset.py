@@ -72,9 +72,14 @@ def _load_json_mask(json_path, cache: bool = True) -> np.ndarray:
     npy = Path(str(json_path) + ".npy")
     if cache and npy.exists() and npy.stat().st_mtime >= Path(json_path).stat().st_mtime:
         return np.load(npy)
-    with open(json_path) as f:
-        data = json.load(f)
-    mask = np.asarray(data["mask_data"], np.uint8).reshape(data["shape"])
+    raw = Path(json_path).read_bytes()
+    try:
+        # native C++ scanner (yolo_dual_tpu/native/fastmask.cpp) — the hot path
+        from yolo_dual_tpu.native import parse_mask_json_bytes
+        mask = parse_mask_json_bytes(raw).copy()
+    except Exception:
+        data = json.loads(raw)
+        mask = np.asarray(data["mask_data"], np.uint8).reshape(data["shape"])
     if cache:
         try:
             np.save(npy, mask)

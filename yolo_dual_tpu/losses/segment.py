@@ -2,13 +2,14 @@
 
 Capability parity with reference utils/segment/loss.py:12-186, TPU-first:
 
-- The mask branch needs per-positive mask rasters (n, mh, mw); materializing
-  them for the full dense candidate lattice would be O(5·na·bs·M·mh·mw), so
-  valid candidates are compacted to a static capacity `pos_capacity` with a
-  stable top-k (validity-first). Overflow beyond capacity is dropped —
-  equivalent to the reference when capacity >= number of positives (the
-  default, 3 cells × na × max-labels, is exact by construction since at most
-  3 of the 5 offset cells are selected per target).
+- The mask branch needs per-positive mask rasters; materializing them for the
+  full dense candidate lattice would be O(5·na·bs·M·mh·mw), so valid
+  candidates are compacted PER IMAGE to a static capacity `pos_capacity`
+  (validity-first stable top-k). Grouping by image makes the proto matmul one
+  batched MXU einsum (bs,C,nm)x(bs,mh,mw,nm) instead of a giant proto gather.
+  Overflow beyond capacity is dropped — exact vs the reference when capacity
+  >= positives per image (the default, 3 cells × na × max-labels, is exact by
+  construction since at most 3 of the 5 offset cells are selected per target).
 - Per-image normalization (reference: mean over instances per image, summed
   over images, utils/segment/loss.py:89-95) is reproduced with segment-sums
   over the image index.
@@ -35,16 +36,17 @@ from yolo_dual_tpu.ops.boxes import xywh2xyxy
 from yolo_dual_tpu.ops.mask_ops import crop_mask
 
 
-def _compact(asgn: Assignment, capacity: int) -> Assignment:
-    """Stable validity-first selection of `capacity` candidates."""
-    k = min(capacity, asgn.valid.shape[0])
-    _, idx = jax.lax.top_k(asgn.valid.astype(jnp.int32), k)
-    idx = jnp.sort(idx)  # preserve original candidate order among the selected
-    return Assignment(
-        b=asgn.b[idx], a=asgn.a[idx], gj=asgn.gj[idx], gi=asgn.gi[idx],
-        tbox=asgn.tbox[idx], cls=asgn.cls[idx], tidx=asgn.tidx[idx],
-        xywhn=asgn.xywhn[idx], anch=asgn.anch[idx], valid=asgn.valid[idx],
-    )
+def _compact_per_image(asgn: Assignment, bs: int, capacity: int):
+    """Per-image validity-first selection: (bs, capacity) indices into the
+    dense lattice + validity. Grouping by image keeps the proto matmul a
+    batched einsum instead of a (ΣC, mh, mw, nm) gather — the gather version
+    moved ~3 GB/level through HBM and dominated the train step."""
+    def per_img(i):
+        mine = (asgn.b == i) & asgn.valid
+        _, idx = jax.lax.top_k(mine.astype(jnp.int32), capacity)
+        idx = jnp.sort(idx)
+        return idx, mine[idx]
+    return jax.vmap(per_img)(jnp.arange(bs))
 
 
 class ComputeSegmentLoss(ComputeLoss):
@@ -67,7 +69,7 @@ class ComputeSegmentLoss(ComputeLoss):
         h = self.hyp
         lbox = lobj = lcls = lseg = jnp.zeros(())
         M = targets.shape[1]
-        capacity = self.pos_capacity or (3 * self.na * bs * M)
+        capacity = self.pos_capacity or (3 * self.na * M)  # per image
 
         # GT masks at proto resolution (reference: F.interpolate nearest)
         if self.overlap:
@@ -88,30 +90,31 @@ class ComputeSegmentLoss(ComputeLoss):
             lcls = lcls + lc
             lobj = lobj + bce_with_logits(pi[..., 4], tobj, h.get("obj_pw", 1.0)).mean() * self.balance[i]
 
-            # ---- mask branch on compacted positives -------------------------
-            ca = _compact(asgn, capacity)
-            rows = pi[ca.b, ca.a, ca.gj, ca.gi]
-            pmask = rows[:, 5 + self.nc: 5 + self.nc + self.nm]          # (C, nm)
-            valid_f = ca.valid.astype(jnp.float32)
+            # ---- mask branch on per-image compacted positives ----------------
+            idx, val = _compact_per_image(asgn, bs, capacity)             # (bs, C)
+            rows = pi[asgn.b[idx], asgn.a[idx], asgn.gj[idx], asgn.gi[idx]]
+            pmask = rows[..., 5 + self.nc: 5 + self.nc + self.nm]         # (bs, C, nm)
+            tidx = asgn.tidx[idx]                                          # (bs, C)
+            xywhn = asgn.xywhn[idx]                                        # (bs, C, 4)
 
-            # predicted instance masks: (C, mh, mw)
-            proto_b = proto[ca.b]                                         # (C, mh, mw, nm)
-            pred_masks = jnp.einsum("cn,chwn->chw", pmask, proto_b)
+            # predicted instance masks as one batched MXU einsum: (bs, C, mh, mw)
+            pred_masks = jnp.einsum("bkn,bhwn->bkhw", pmask.astype(jnp.float32),
+                                    proto.astype(jnp.float32))
 
             if self.overlap:
-                gt = (masks[ca.b] == (ca.tidx + 1)[:, None, None].astype(masks.dtype)).astype(jnp.float32)
+                gt = (masks[:, None] == (tidx + 1)[..., None, None].astype(masks.dtype))
+                gt = gt.astype(jnp.float32)
             else:
-                gt = masks[ca.b, ca.tidx].astype(jnp.float32)
+                gt = jnp.take_along_axis(masks, tidx[..., None, None], axis=1).astype(jnp.float32)
 
-            marea = ca.xywhn[:, 2] * ca.xywhn[:, 3]                        # normalized area
-            mxyxy = xywh2xyxy(ca.xywhn * jnp.asarray([mw, mh, mw, mh], jnp.float32))
+            marea = xywhn[..., 2] * xywhn[..., 3]
+            mxyxy = xywh2xyxy(xywhn * jnp.asarray([mw, mh, mw, mh], jnp.float32))
             bce = bce_with_logits(pred_masks, gt)
-            per = crop_mask(bce, mxyxy).mean(axis=(1, 2)) / jnp.maximum(marea, 1e-9)
-            per = jnp.where(ca.valid, per, 0.0)
+            per = jax.vmap(crop_mask)(bce, mxyxy).mean(axis=(2, 3)) / jnp.maximum(marea, 1e-9)
+            per = jnp.where(val, per, 0.0)                                 # (bs, C)
             # per-image mean over instances, summed over images (reference :89-95)
-            sums = jax.ops.segment_sum(per, ca.b, num_segments=bs)
-            cnts = jax.ops.segment_sum(valid_f, ca.b, num_segments=bs)
-            lseg = lseg + (sums / jnp.maximum(cnts, 1.0)).sum()
+            cnt = jnp.maximum(val.sum(1).astype(jnp.float32), 1.0)
+            lseg = lseg + (per.sum(1) / cnt).sum()
 
         lbox = lbox * h.get("box", 0.05)
         lobj = lobj * h.get("obj", 1.0)

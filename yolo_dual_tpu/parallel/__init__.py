@@ -3,4 +3,6 @@ from yolo_dual_tpu.parallel.mesh import (  # noqa: F401
     replicate,
     shard_batch,
     cross_replica_mean,
+    init_distributed,
+    sync_hosts,
 )

@@ -47,3 +47,30 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
 def cross_replica_mean(tree, axis: str = "data"):
     """Explicit pmean for shard_map-style code paths (SyncBN primitive)."""
     return jax.tree_util.tree_map(lambda x: jax.lax.pmean(x, axis), tree)
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None):
+    """Multi-host bring-up: jax.distributed.initialize with env-var defaults
+    (the analog of the reference's dist.init_process_group,
+    classify/train.py:313 — but one JAX process per HOST, not per chip).
+
+    On single-host runs this is a no-op. After it, make_mesh() spans all
+    hosts' devices; data loading shards by jax.process_index() automatically
+    (data/loader.py)."""
+    import os
+    if num_processes is None and "JAX_NUM_PROCESSES" not in os.environ \
+            and coordinator_address is None:
+        return False  # single host
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes, process_id=process_id)
+    return True
+
+
+def sync_hosts(name: str = "barrier"):
+    """Cross-host barrier (the reference's torch_distributed_zero_first /
+    dist.barrier analog, utils/torch_utils.py:89-95)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(name)
