@@ -45,14 +45,16 @@ def _timed(fn, *args):
     return time.perf_counter() - t0
 
 
-def _slope(run, n1, n2):
-    run(n1)  # compile both loop counts? fori_loop bound is dynamic -> one compile
-    t1 = min(_timed(run, n1) for _ in range(2))
-    t2 = min(_timed(run, n2) for _ in range(2))
+def _slope(run, n1, n2, repeats=3):
+    """Two-point slope with the iteration gap chosen so on-device time >> the
+    tunnel's ~0.5s timing jitter; min-of-repeats at each point."""
+    run(n1)  # compile (loop bound is a dynamic scalar -> single executable)
+    t1 = min(_timed(run, n1) for _ in range(repeats))
+    t2 = min(_timed(run, n2) for _ in range(repeats))
     return (t2 - t1) / (n2 - n1)
 
 
-def bench_inference(bs=32, imgsz=640, n1=3, n2=11):
+def bench_inference(bs=32, imgsz=640, n1=2, n2=60):
     from yolo_dual_tpu.models.model import SegmentationModel
     from yolo_dual_tpu.ops.nms import nms_batched
 
@@ -74,7 +76,7 @@ def bench_inference(bs=32, imgsz=640, n1=3, n2=11):
     return bs / per_iter
 
 
-def bench_train(bs=16, imgsz=640, n1=2, n2=8):
+def bench_train(bs=16, imgsz=640, n1=2, n2=34):
     from yolo_dual_tpu.losses import ComputeSegmentLoss
     from yolo_dual_tpu.models.model import SegmentationModel
     from yolo_dual_tpu.train import ModelEMA, Trainer, smart_optimizer

@@ -99,7 +99,7 @@ def train(opt):
     if opt.data_parallel and jax.device_count() > 1:
         from yolo_dual_tpu.parallel import make_mesh
         mesh = make_mesh()
-    trainer = Trainer(model, loss_fn, tx, ema=ModelEMA(), task="segment", mesh=mesh)
+    trainer = Trainer(model, loss_fn, tx, ema=ModelEMA(), task="segment", mesh=mesh, remat=opt.remat)
     state = trainer.init_state(variables)
     step_fn = trainer.make_train_step()
     stopper = EarlyStopping(patience=opt.patience)
@@ -168,10 +168,36 @@ def parse_opt(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--data-parallel", action="store_true", help="shard batch over all devices")
     p.add_argument("--nosave-optimizer", action="store_true")
+    p.add_argument("--evolve", type=int, default=0, help="generations of hyperparameter evolution")
+    p.add_argument("--remat", action="store_true", help="rematerialize forward (saves HBM)")
     p.add_argument("--device", default="", help="accepted for reference-CLI parity (JAX selects devices)")
     p.add_argument("--workers", type=int, default=0, help="accepted for parity (thread prefetch is used)")
     return p.parse_args(argv)
 
 
+def evolve(opt):
+    """Hyperparameter evolution loop (reference --evolve, segment/train.py
+    evolve meta + utils/general.py print_mutation)."""
+    from yolo_dual_tpu.utils.evolve import mutate, print_mutation
+    base_hyp = yaml_load(find_cfg(opt.hyp, "hyps"))
+    save_dir = increment_path(Path(opt.project) / f"{opt.name}-evolve", mkdir=True)
+    evolve_csv = save_dir / "evolve.csv"
+    for gen in range(opt.evolve):
+        hyp = mutate(base_hyp, evolve_csv, seed=gen)
+        hyp_file = save_dir / f"hyp_gen{gen}.yaml"
+        yaml_save(hyp_file, hyp)
+        o = argparse.Namespace(**vars(opt))
+        o.hyp = str(hyp_file)
+        o.name = f"{opt.name}-gen{gen}"
+        o.evolve = 0
+        fi = train(o)
+        print_mutation([], [], hyp, save_dir, float(fi))
+    LOGGER.info(f"evolution complete; log at {evolve_csv}")
+
+
 if __name__ == "__main__":
-    train(parse_opt())
+    _opt = parse_opt()
+    if _opt.evolve:
+        evolve(_opt)
+    else:
+        train(_opt)

@@ -70,6 +70,7 @@ class Trainer:
     ema: Optional[ModelEMA] = None
     task: str = "semantic"           # semantic | detect | segment | classify
     mesh: Any = None                 # jax.sharding.Mesh for data parallelism
+    remat: bool = False              # jax.checkpoint the forward (trade FLOPs for HBM)
 
     def init_state(self, variables: dict) -> TrainState:
         params = variables["params"]
@@ -89,25 +90,33 @@ class Trainer:
         from yolo_dual_tpu.data.loader import normalize_image
         variables = {"params": params, "batch_stats": batch_stats}
         x = normalize_image(batch["image"])
+        if self.remat:
+            # rematerialize the backbone forward in the backward pass:
+            # activations are recomputed instead of stored (HBM for FLOPs)
+            apply = jax.checkpoint(
+                lambda v, xx, **kw: self.model.module.apply(v, xx, **kw),
+                static_argnums=())
+        else:
+            apply = self.model.module.apply
         if self.task == "semantic":
-            out, upd = self.model.module.apply(variables, x, train=True,
-                                               mutable=["batch_stats"], rngs=rngs)
+            out, upd = apply(variables, x, train=True,
+                             mutable=["batch_stats"], rngs=rngs)
             from yolo_dual_tpu.nn.common import resize_bilinear
             if out.shape[1:3] != x.shape[1:3]:
                 out = resize_bilinear(out, x.shape[1:3])
             loss, items = self.loss_fn(out, batch["mask"])
             items = jnp.stack(items)
         elif self.task == "detect":
-            out, upd = self.model.module.apply(variables, x, train=True, decode=False,
-                                               mutable=["batch_stats"], rngs=rngs)
+            out, upd = apply(variables, x, train=True, decode=False,
+                             mutable=["batch_stats"], rngs=rngs)
             loss, items = self.loss_fn(out, batch["targets"], batch["tmask"])
         elif self.task == "segment":
-            out, upd = self.model.module.apply(variables, x, train=True, decode=False,
-                                               mutable=["batch_stats"], rngs=rngs)
+            out, upd = apply(variables, x, train=True, decode=False,
+                             mutable=["batch_stats"], rngs=rngs)
             loss, items = self.loss_fn(out, batch["targets"], batch["tmask"], batch["masks"])
         elif self.task == "classify":
-            out, upd = self.model.module.apply(variables, x, train=True,
-                                               mutable=["batch_stats"], rngs=rngs)
+            out, upd = apply(variables, x, train=True,
+                             mutable=["batch_stats"], rngs=rngs)
             loss, items = self.loss_fn(out, batch["label"])
             items = jnp.stack(items) if isinstance(items, (tuple, list)) else items
         else:
