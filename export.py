@@ -61,7 +61,8 @@ def export_savedmodel(model, variables, imgsz: int, out: Path):
         return {"pred": pred, "protos": protos}
 
     tf_fn = tf.function(
-        jax2tf.convert(fwd, with_gradient=False),
+        jax2tf.convert(fwd, with_gradient=False,
+                       native_serialization_platforms=("cpu", "tpu")),
         input_signature=[tf.TensorSpec((1, imgsz, imgsz, 3), tf.float32)],
         autograph=False)
     m = tf.Module()

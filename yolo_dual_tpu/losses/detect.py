@@ -157,7 +157,7 @@ class ComputeLoss:
         if autobalance:
             raise NotImplementedError("autobalance requires cross-step state; use static balance")
 
-    def _cls_obj_box(self, pi, asgn: Assignment, extra_cols: int = 0):
+    def _cls_obj_box(self, pi, asgn: Assignment):
         """Shared per-level box/cls losses + tobj map. Returns
         (lbox, lcls, tobj, iou, pred_rows, n_pos)."""
         h = self.hyp

@@ -239,18 +239,13 @@ class ComputeLossAuxOTA(ComputeLossOTA):
         nl = self.nl
         lead, aux = list(p[:nl]), list(p[nl:])
         lead_loss, lead_items = ComputeLossOTA.__call__(self, lead, targets, tmask, imgsz)
-
-        # aux branch: its own wider candidate set, lead-style matching
-        saved_topk = self.top_k
-        self._bias = 1.0
+        # aux branch: wider (bias-1.0) candidate set, same matching
         aux_loss, aux_items = self._aux_call(aux, targets, tmask, imgsz)
-        self.top_k = saved_topk
         total = lead_loss + self.AUX_WEIGHT * aux_loss
         return total, lead_items + self.AUX_WEIGHT * aux_items
 
     def _aux_call(self, p, targets, tmask, imgsz):
         # identical loss body but candidates built with bias=1.0
-        orig = build_targets_level
         h = self.hyp
         bs, M = tmask.shape
         sel = self._simota_select(p, targets, tmask, imgsz, bias=1.0)

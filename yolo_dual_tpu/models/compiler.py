@@ -48,9 +48,7 @@ class LayerSpec:
     c2: int                                 # output channels (bookkeeping)
 
     def kw(self) -> dict:
-        def thaw(v):
-            return v
-        return {k: thaw(v) for k, v in self.kwargs}
+        return dict(self.kwargs)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -138,13 +138,10 @@ class Trainer:
                                       step=state.step + 1)
             return new_state, {"loss": loss, "items": items}
 
-        kw = {}
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            repl = NamedSharding(self.mesh, P())
             data = NamedSharding(self.mesh, P("data"))
-            state_sh = jax.tree_util.tree_map(lambda _: repl, jax.eval_shape(lambda: 0))
-            # rely on input shardings propagating; constrain batch on 'data'
+
             def sharded_step(state, batch):
                 batch = jax.tree_util.tree_map(
                     lambda x: jax.lax.with_sharding_constraint(x, data)
