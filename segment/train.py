@@ -101,9 +101,24 @@ def train(opt):
         mesh = make_mesh()
     trainer = Trainer(model, loss_fn, tx, ema=ModelEMA(), task="segment", mesh=mesh, remat=opt.remat)
     state = trainer.init_state(variables)
+    start_epoch = 0
+    best_fitness = 0.0
+    if opt.resume:
+        # smart_resume equivalent (reference utils/torch_utils.py:361-378):
+        # restore params/BN stats/EMA/optimizer state/epoch/best fitness
+        ckpt = load_checkpoint(Path(opt.resume) if Path(str(opt.resume)).exists()
+                               else save_dir / "last")
+        state = state.replace(
+            params=ckpt["variables"]["params"],
+            batch_stats=ckpt["variables"].get("batch_stats", state.batch_stats),
+            ema=ckpt.get("ema") or state.ema,
+            opt_state=ckpt.get("opt_state") or state.opt_state)
+        start_epoch = int(ckpt.get("epoch", -1)) + 1
+        best_fitness = float(ckpt.get("best_fitness", 0.0))
+        LOGGER.info(f"resumed from epoch {start_epoch} (best fitness {best_fitness:.4f})")
     step_fn = trainer.make_train_step()
     stopper = EarlyStopping(patience=opt.patience)
-    best_fitness = 0.0
+    stopper.best_fitness = best_fitness
 
     csv_path = save_dir / "results.csv"
     with open(csv_path, "w", newline="") as f:
@@ -113,7 +128,7 @@ def train(opt):
     LOGGER.info(f"Training {opt.cfg} on {data.get('train')} for {opt.epochs} epochs "
                 f"(batch {opt.batch_size}, imgsz {imgsz}, accumulate {accumulate})...")
     t0 = time.time()
-    for epoch in range(opt.epochs):
+    for epoch in range(start_epoch, opt.epochs):
         train_loader.set_epoch(epoch)
         mloss = np.zeros(4)
         for i, batch in enumerate(train_loader):
@@ -143,6 +158,11 @@ def train(opt):
         if stopper(epoch, fi):
             break
     strip_optimizer(save_dir / "best")
+    try:
+        from yolo_dual_tpu.utils.plots import plot_results
+        plot_results(csv_path, save_dir)
+    except Exception as e:
+        LOGGER.info(f"results plot skipped: {e}")
     LOGGER.info(f"Done in {(time.time() - t0) / 3600:.2f}h; results in {save_dir}")
     return best_fitness
 
@@ -150,6 +170,7 @@ def train(opt):
 def parse_opt(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--weights", type=str, default="", help="initial weights (.pt or orbax dir)")
+    p.add_argument("--resume", nargs="?", const=True, default="", help="resume from last checkpoint (optionally a path)")
     p.add_argument("--cfg", type=str, default="yolov5n-seg.yaml", help="model config")
     p.add_argument("--data", type=str, default="coco128-seg.yaml", help="dataset config")
     p.add_argument("--hyp", type=str, default="hyp.scratch-low.yaml", help="hyperparameters")

@@ -134,6 +134,11 @@ def train(opt):
         if stopper(epoch, fi):
             break
     strip_optimizer(save_dir / "best")
+    try:
+        from yolo_dual_tpu.utils.plots import plot_results
+        plot_results(csv_path, save_dir)
+    except Exception as e:
+        LOGGER.info(f"results plot skipped: {e}")
     LOGGER.info(f"Done; best mIoU {best_fitness:.4f}; results in {save_dir}")
     return best_fitness
 

@@ -97,20 +97,25 @@ class ComputeSegmentLoss(ComputeLoss):
             tidx = asgn.tidx[idx]                                          # (bs, C)
             xywhn = asgn.xywhn[idx]                                        # (bs, C, 4)
 
-            # predicted instance masks as one batched MXU einsum: (bs, C, mh, mw)
-            pred_masks = jnp.einsum("bkn,bhwn->bkhw", pmask.astype(jnp.float32),
-                                    proto.astype(jnp.float32))
+            # predicted instance masks as one batched MXU einsum: (bs, C, mh, mw).
+            # Elementwise work stays in the proto dtype (bf16 under the mixed-
+            # precision policy — halves HBM traffic of the biggest loss tensor);
+            # accumulation back to scalars is f32.
+            cdt = proto.dtype
+            pred_masks = jnp.einsum("bkn,bhwn->bkhw", pmask.astype(cdt), proto,
+                                    preferred_element_type=jnp.float32).astype(cdt)
 
             if self.overlap:
                 gt = (masks[:, None] == (tidx + 1)[..., None, None].astype(masks.dtype))
-                gt = gt.astype(jnp.float32)
+                gt = gt.astype(cdt)
             else:
-                gt = jnp.take_along_axis(masks, tidx[..., None, None], axis=1).astype(jnp.float32)
+                gt = jnp.take_along_axis(masks, tidx[..., None, None], axis=1).astype(cdt)
 
             marea = xywhn[..., 2] * xywhn[..., 3]
             mxyxy = xywh2xyxy(xywhn * jnp.asarray([mw, mh, mw, mh], jnp.float32))
             bce = bce_with_logits(pred_masks, gt)
-            per = jax.vmap(crop_mask)(bce, mxyxy).mean(axis=(2, 3)) / jnp.maximum(marea, 1e-9)
+            per = jax.vmap(crop_mask)(bce, mxyxy.astype(cdt)).astype(jnp.float32) \
+                .mean(axis=(2, 3)) / jnp.maximum(marea, 1e-9)
             per = jnp.where(val, per, 0.0)                                 # (bs, C)
             # per-image mean over instances, summed over images (reference :89-95)
             cnt = jnp.maximum(val.sum(1).astype(jnp.float32), 1.0)

@@ -123,7 +123,11 @@ class Trainer:
             raise ValueError(self.task)
         return loss, (items, upd.get("batch_stats", batch_stats))
 
-    def make_train_step(self, donate: bool = True) -> Callable:
+    def make_train_step(self, donate: bool = False) -> Callable:
+        # NOTE donation is opt-in: the remote-TPU (axon) backend in this
+        # environment rejects donated buffers for large train graphs
+        # (runtime INVALID_ARGUMENT); the memory saving (~params+opt state)
+        # is negligible next to HBM at these model sizes.
         def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
             grad_fn = jax.value_and_grad(self._forward_loss, has_aux=True)
             (loss, (items, new_bs)), grads = grad_fn(state.params, state.batch_stats, batch)
