@@ -45,7 +45,7 @@ def _timed(fn, *args):
     return time.perf_counter() - t0
 
 
-def _slope(run, n1, n2, repeats=3):
+def _slope(run, n1, n2, repeats=4):
     """Two-point slope with the iteration gap chosen so on-device time >> the
     tunnel's ~0.5s timing jitter; min-of-repeats at each point."""
     run(n1)  # compile (loop bound is a dynamic scalar -> single executable)
@@ -54,7 +54,7 @@ def _slope(run, n1, n2, repeats=3):
     return (t2 - t1) / (n2 - n1)
 
 
-def bench_inference(bs=32, imgsz=640, n1=2, n2=60):
+def bench_inference(bs=32, imgsz=640, n1=2, n2=100):
     from yolo_dual_tpu.models.model import SegmentationModel
     from yolo_dual_tpu.ops.nms import nms_batched
 
@@ -76,7 +76,7 @@ def bench_inference(bs=32, imgsz=640, n1=2, n2=60):
     return bs / per_iter
 
 
-def bench_train(bs=16, imgsz=640, n1=2, n2=34):
+def bench_train(bs=16, imgsz=640, n1=2, n2=50):
     from yolo_dual_tpu.losses import ComputeSegmentLoss
     from yolo_dual_tpu.models.model import SegmentationModel
     from yolo_dual_tpu.train import ModelEMA, Trainer, smart_optimizer
