@@ -23,9 +23,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
-    """1-D data-parallel mesh over the first n devices (default: all)."""
+    """1-D data-parallel mesh over the first n devices (default: all).
+
+    If the default backend has fewer devices than requested but the CPU
+    backend has enough (the `--xla_force_host_platform_device_count` testing
+    setup, usable even when a TPU plugin owns the default backend), the mesh
+    falls back to CPU devices."""
     devs = jax.devices()
+    if n_devices is not None and len(devs) < n_devices:
+        try:
+            cpu = jax.devices("cpu")
+            if len(cpu) >= n_devices:
+                devs = cpu
+        except RuntimeError:
+            pass
     if n_devices is not None:
+        assert len(devs) >= n_devices, f"need {n_devices} devices, have {len(devs)}"
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (axis,))
 
