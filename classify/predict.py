@@ -23,7 +23,8 @@ CONFIGS = ROOT / "yolo_dual_tpu" / "configs"
 
 def run(weights="", model="yolov5n.yaml", source="", imgsz=224, cutoff=10, topk=5, **kw):
     import cv2
-    cfg = Path(model) if Path(model).exists() else CONFIGS / "models" / model
+    sys.path.insert(0, str(ROOT / "classify"))
+    from train import build_classifier
     classes = None
     nc = 1000
     variables = None
@@ -35,7 +36,7 @@ def run(weights="", model="yolov5n.yaml", source="", imgsz=224, cutoff=10, topk=
         variables = ckpt.get("variables")
         if ckpt.get("ema"):
             variables = ckpt["ema"].get("ema", variables)
-    m = ClassificationModel(cfg, nc=nc, cutoff=cutoff)
+    m = build_classifier(model, nc, cutoff=cutoff)
     if variables is None:
         variables = m.module.init(jax.random.PRNGKey(0), jnp.zeros((1, imgsz, imgsz, 3)), train=False)
 
@@ -50,7 +51,9 @@ def run(weights="", model="yolov5n.yaml", source="", imgsz=224, cutoff=10, topk=
         if f.suffix.lower() not in (".jpg", ".jpeg", ".png", ".bmp", ".webp"):
             continue
         im = cv2.cvtColor(cv2.imread(str(f)), cv2.COLOR_BGR2RGB)
-        im = cv2.resize(im, (imgsz, imgsz))
+        # eval transform parity with training (reference classify_transforms)
+        from yolo_dual_tpu.data.classify import classify_transforms
+        im = classify_transforms(im, imgsz)
         prob = np.asarray(fwd(variables, jnp.asarray(im[None])))[0]
         order = np.argsort(-prob)[:topk]
         names = [classes[i] if classes else str(i) for i in order]

@@ -32,55 +32,42 @@ from yolo_dual_tpu.utils.general import LOGGER, increment_path, init_seeds
 CONFIGS = ROOT / "yolo_dual_tpu" / "configs"
 
 
-class FolderClassificationDataset:
-    """ImageFolder-style dataset: root/<class>/<img> (reference
-    utils/dataloaders.py:1162 ClassificationDataset)."""
+# Back-compat alias: the full dataset now lives in the data layer
+from yolo_dual_tpu.data.classify import ClassificationDataset as FolderClassificationDataset  # noqa: E402,F401
 
-    def __init__(self, root, imgsz=224, augment=False, seed=0):
-        import random
-        self.root = Path(root)
-        self.classes = sorted(d.name for d in self.root.iterdir() if d.is_dir())
-        self.items = []
-        for ci, c in enumerate(self.classes):
-            for f in sorted((self.root / c).rglob("*.*")):
-                if f.suffix.lower() in (".jpg", ".jpeg", ".png", ".bmp", ".webp"):
-                    self.items.append((f, ci))
-        self.imgsz = imgsz
-        self.augment = augment
-        self.rng = random.Random(seed)
+TORCHVISION_ARCHS = ("resnet18", "resnet34", "resnet50", "wide_resnet50_2",
+                     "MobileNetV3s", "mobilenet_v2", "efficientnet_b0",
+                     "efficientnet_b1", "efficientnet_v2_s", "RegNety400",
+                     "vgg11_bn", "convnext_tiny")
 
-    def __len__(self):
-        return len(self.items)
 
-    def __getitem__(self, i):
-        import cv2
-        f, ci = self.items[i]
-        im = cv2.cvtColor(cv2.imread(str(f)), cv2.COLOR_BGR2RGB)
-        if self.augment:  # RandomResizedCrop-style (reference classify_transforms)
-            h, w = im.shape[:2]
-            s = self.rng.uniform(0.5, 1.0)
-            ch, cw = int(h * s), int(w * s)
-            y0, x0 = self.rng.randint(0, h - ch), self.rng.randint(0, w - cw)
-            im = im[y0:y0 + ch, x0:x0 + cw]
-            if self.rng.random() < 0.5:
-                im = np.fliplr(im).copy()
-        im = cv2.resize(im, (self.imgsz, self.imgsz), interpolation=cv2.INTER_LINEAR)
-        return {"image": im, "label": np.int32(ci)}
+def build_classifier(model_name: str, nc: int, cutoff: int = 10):
+    """YOLO-cls (detection cfg + cutoff) or a native torchvision-family
+    backbone + Classify head (reference classify/train.py's
+    torchvision-or-YOLO model option)."""
+    if model_name in TORCHVISION_ARCHS:
+        cfg = dict(nc=nc, depth_multiple=1.0, width_multiple=1.0,
+                   backbone=[[-1, 1, f"{model_name}{i}", [0]] for i in (1, 2, 3)],
+                   head=[])
+        return ClassificationModel(cfg, nc=nc, cutoff=3)
+    cfg = Path(model_name) if Path(model_name).exists() else CONFIGS / "models" / model_name
+    return ClassificationModel(cfg, nc=nc, cutoff=cutoff)
 
 
 def train(opt):
-    from yolo_dual_tpu.data.loader import Loader
+    from yolo_dual_tpu.data.classify import create_classification_dataloader
     init_seeds(opt.seed)
     save_dir = increment_path(Path(opt.project) / opt.name, exist_ok=opt.exist_ok, mkdir=True)
-    train_ds = FolderClassificationDataset(Path(opt.data_dir) / "train", opt.imgsz, augment=True)
+    train_loader, train_ds = create_classification_dataloader(
+        Path(opt.data_dir) / "train", imgsz=opt.imgsz, batch_size=opt.batch_size,
+        augment=not opt.no_augment, cache=opt.cache, shuffle=True, seed=opt.seed)
     val_dir = Path(opt.data_dir) / ("val" if (Path(opt.data_dir) / "val").exists() else "test")
-    val_ds = FolderClassificationDataset(val_dir, opt.imgsz)
+    val_loader, val_ds = create_classification_dataloader(
+        val_dir, imgsz=opt.imgsz, batch_size=opt.batch_size, augment=False,
+        cache=opt.cache, shuffle=False)
     nc = len(train_ds.classes)
-    train_loader = Loader(train_ds, opt.batch_size, shuffle=True, seed=opt.seed, drop_last=True)
-    val_loader = Loader(val_ds, opt.batch_size, drop_last=False)
 
-    cfg = Path(opt.model) if Path(opt.model).exists() else CONFIGS / "models" / opt.model
-    model = ClassificationModel(cfg, nc=nc, cutoff=opt.cutoff)
+    model = build_classifier(opt.model, nc, cutoff=opt.cutoff)
     variables = model.module.init(jax.random.PRNGKey(opt.seed),
                                   jnp.zeros((1, opt.imgsz, opt.imgsz, 3)), train=True)
     variables = jax.tree_util.tree_map(np.asarray, variables)
@@ -144,9 +131,14 @@ def train(opt):
 
 def parse_opt(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--model", type=str, default="yolov5n.yaml", help="detection cfg for backbone")
+    p.add_argument("--model", type=str, default="yolov5n.yaml",
+                   help="detection cfg for backbone, or a torchvision arch "
+                        "name (resnet18, efficientnet_b0, ...)")
     p.add_argument("--data-dir", type=str, required=True, help="root with train/ and val|test/")
     p.add_argument("--cutoff", type=int, default=10)
+    p.add_argument("--cache", type=str, default=False, nargs="?", const="ram",
+                   help="image cache: ram or disk (reference --cache)")
+    p.add_argument("--no-augment", action="store_true")
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--imgsz", type=int, default=224)

@@ -25,12 +25,12 @@ CONFIGS = ROOT / "yolo_dual_tpu" / "configs"
 def run(weights="", model="yolov5n.yaml", data_dir="", imgsz=224, batch_size=64,
         cutoff=10, **kw):
     sys.path.insert(0, str(ROOT / "classify"))
-    from train import FolderClassificationDataset
+    from train import build_classifier
+    from yolo_dual_tpu.data.classify import ClassificationDataset
     val_dir = Path(data_dir) / ("val" if (Path(data_dir) / "val").exists() else "test")
-    ds = FolderClassificationDataset(val_dir, imgsz)
+    ds = ClassificationDataset(val_dir, imgsz, augment=False)
     loader = Loader(ds, batch_size, drop_last=False)
-    cfg = Path(model) if Path(model).exists() else CONFIGS / "models" / model
-    m = ClassificationModel(cfg, nc=len(ds.classes), cutoff=cutoff)
+    m = build_classifier(model, len(ds.classes), cutoff=cutoff)
     variables = m.module.init(jax.random.PRNGKey(0), jnp.zeros((1, imgsz, imgsz, 3)), train=False)
     if weights:
         ckpt = load_checkpoint(weights)

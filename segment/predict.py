@@ -27,7 +27,8 @@ def run(weights="", cfg="yolov5s-seg.yaml", source="data/images", imgsz=640,
         conf_thres=0.25, iou_thres=0.45, max_det=300, classes=None,
         agnostic_nms=False, retina_masks=False, project="runs/predict-seg",
         name="exp", save_txt=False, nosave=False, line_thickness=3,
-        hide_labels=False, hide_conf=False, soft_nms=False, nc=80, data=None, **kw):
+        hide_labels=False, hide_conf=False, soft_nms=False, nc=80, data=None,
+        augment=False, vid_stride=1, max_frames=None, view_img=False, **kw):
     imgsz = check_img_size(imgsz, 32)
     if data:
         from yolo_dual_tpu.utils.general import check_dataset
@@ -44,7 +45,8 @@ def run(weights="", cfg="yolov5s-seg.yaml", source="data/images", imgsz=640,
         classes=classes, agnostic_nms=agnostic_nms, retina_masks=retina_masks,
         save_dir=str(Path(project) / name), save_txt=save_txt, save_img=not nosave,
         names=names, line_thickness=line_thickness, hide_labels=hide_labels,
-        hide_conf=hide_conf, use_soft_nms=soft_nms)
+        hide_conf=hide_conf, use_soft_nms=soft_nms, augment=augment,
+        vid_stride=vid_stride, max_frames=max_frames, view_img=view_img)
 
 
 def parse_opt(argv=None):
@@ -68,6 +70,10 @@ def parse_opt(argv=None):
     p.add_argument("--hide-labels", action="store_true")
     p.add_argument("--hide-conf", action="store_true")
     p.add_argument("--soft-nms", action="store_true")
+    p.add_argument("--augment", action="store_true", help="TTA: multi-scale + flip inference")
+    p.add_argument("--vid-stride", type=int, default=1, help="video frame-rate stride")
+    p.add_argument("--max-frames", type=int, default=None, help="stop streams after N frames")
+    p.add_argument("--view-img", action="store_true", help="show annotated frames live")
     p.add_argument("--nc", type=int, default=80)
     p.add_argument("--device", default="", help="parity flag")
     return p.parse_args(argv)

@@ -57,7 +57,26 @@ def find_cfg(name, *dirs):
 
 def train(opt):
     init_seeds(opt.seed)
-    save_dir = increment_path(Path(opt.project) / opt.name, exist_ok=opt.exist_ok, mkdir=True)
+    resume_ckpt = None
+    if opt.resume:
+        # smart_resume run-dir resolution (reference utils/torch_utils.py:361-378
+        # + get_latest_run, utils/general.py): bare --resume reuses the MOST
+        # RECENT existing run dir instead of allocating a fresh one
+        if isinstance(opt.resume, str) and Path(opt.resume).exists():
+            resume_ckpt = Path(opt.resume)
+            save_dir = resume_ckpt.parent
+        else:
+            runs = sorted((p for p in Path(opt.project).glob(f"{opt.name}*")
+                           if (p / "last").exists()),
+                          key=lambda p: (p / "last").stat().st_mtime)
+            if not runs:
+                raise FileNotFoundError(
+                    f"--resume: no run with a 'last' checkpoint under "
+                    f"{opt.project}/{opt.name}*")
+            save_dir = runs[-1]
+            resume_ckpt = save_dir / "last"
+    else:
+        save_dir = increment_path(Path(opt.project) / opt.name, exist_ok=opt.exist_ok, mkdir=True)
     hyp = yaml_load(find_cfg(opt.hyp, "hyps"))
     data = check_dataset(find_cfg(opt.data, "data"))
     yaml_save(save_dir / "hyp.yaml", hyp)
@@ -99,15 +118,15 @@ def train(opt):
     if opt.data_parallel and jax.device_count() > 1:
         from yolo_dual_tpu.parallel import make_mesh
         mesh = make_mesh()
-    trainer = Trainer(model, loss_fn, tx, ema=ModelEMA(), task="segment", mesh=mesh, remat=opt.remat)
+    trainer = Trainer(model, loss_fn, tx, ema=ModelEMA(), task="segment", mesh=mesh,
+                      remat=opt.remat, accumulate=accumulate)
     state = trainer.init_state(variables)
     start_epoch = 0
     best_fitness = 0.0
-    if opt.resume:
+    if resume_ckpt is not None:
         # smart_resume equivalent (reference utils/torch_utils.py:361-378):
         # restore params/BN stats/EMA/optimizer state/epoch/best fitness
-        ckpt = load_checkpoint(Path(opt.resume) if Path(str(opt.resume)).exists()
-                               else save_dir / "last")
+        ckpt = load_checkpoint(resume_ckpt)
         state = state.replace(
             params=ckpt["variables"]["params"],
             batch_stats=ckpt["variables"].get("batch_stats", state.batch_stats),
@@ -121,9 +140,16 @@ def train(opt):
     stopper.best_fitness = best_fitness
 
     csv_path = save_dir / "results.csv"
-    with open(csv_path, "w", newline="") as f:
-        csv.writer(f).writerow(["epoch", "box_loss", "seg_loss", "obj_loss", "cls_loss",
-                                "mAP50_B", "mAP_B", "mAP50_M", "mAP_M", "fitness"])
+    if resume_ckpt is None or not csv_path.exists():
+        # header only on fresh runs: resuming must append, not truncate history
+        with open(csv_path, "w", newline="") as f:
+            csv.writer(f).writerow(["epoch", "box_loss", "seg_loss", "obj_loss", "cls_loss",
+                                    "mAP50_B", "mAP_B", "mAP50_M", "mAP_M", "fitness"])
+    # TB + optional remote sinks (CSV handled above to keep the resume-append
+    # semantics); reference Loggers facade, utils/loggers/__init__.py
+    from yolo_dual_tpu.utils.loggers import Loggers
+    loggers = Loggers(save_dir, opt=vars(opt), hyp=hyp,
+                      include=("tb",) + tuple(opt.loggers or ()), run_name=opt.name)
 
     LOGGER.info(f"Training {opt.cfg} on {data.get('train')} for {opt.epochs} epochs "
                 f"(batch {opt.batch_size}, imgsz {imgsz}, accumulate {accumulate})...")
@@ -148,10 +174,19 @@ def train(opt):
                     f"({(time.time() - t0) / (epoch + 1):.1f}s/epoch)")
         with open(csv_path, "a", newline="") as f:
             csv.writer(f).writerow([epoch, *mloss, mean[2], mean[3], mean[6], mean[7], fi])
+        loggers.log_metrics({
+            "train/box_loss": mloss[0], "train/seg_loss": mloss[1],
+            "train/obj_loss": mloss[2], "train/cls_loss": mloss[3],
+            "metrics/precision(B)": mean[0], "metrics/recall(B)": mean[1],
+            "metrics/mAP_0.5(B)": mean[2], "metrics/mAP_0.5:0.95(B)": mean[3],
+            "metrics/precision(M)": mean[4], "metrics/recall(M)": mean[5],
+            "metrics/mAP_0.5(M)": mean[6], "metrics/mAP_0.5:0.95(M)": mean[7],
+            "fitness": fi}, epoch)
         ckpt = {"variables": {"params": state.params, "batch_stats": state.batch_stats},
                 "ema": state.ema, "epoch": epoch, "best_fitness": float(max(fi, best_fitness)),
                 "opt_state": None if opt.nosave_optimizer else state.opt_state}
         save_checkpoint(save_dir / "last", ckpt)
+        loggers.on_model_save(save_dir / "last", epoch, best_fitness, fi)
         if fi >= best_fitness:
             best_fitness = fi
             save_checkpoint(save_dir / "best", ckpt)
@@ -163,6 +198,7 @@ def train(opt):
         plot_results(csv_path, save_dir)
     except Exception as e:
         LOGGER.info(f"results plot skipped: {e}")
+    loggers.on_train_end(save_dir / "results.png")
     LOGGER.info(f"Done in {(time.time() - t0) / 3600:.2f}h; results in {save_dir}")
     return best_fitness
 
@@ -191,6 +227,8 @@ def parse_opt(argv=None):
     p.add_argument("--nosave-optimizer", action="store_true")
     p.add_argument("--evolve", type=int, default=0, help="generations of hyperparameter evolution")
     p.add_argument("--remat", action="store_true", help="rematerialize forward (saves HBM)")
+    p.add_argument("--loggers", nargs="*", default=[],
+                   help="extra sinks: wandb clearml comet (no-ops if not installed)")
     p.add_argument("--device", default="", help="accepted for reference-CLI parity (JAX selects devices)")
     p.add_argument("--workers", type=int, default=0, help="accepted for parity (thread prefetch is used)")
     return p.parse_args(argv)

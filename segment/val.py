@@ -59,21 +59,34 @@ def load_model_and_weights(weights, cfg, nc, imgsz):
 def run(data="coco128-seg.yaml", weights="", cfg="yolov5s-seg.yaml", batch_size=16,
         imgsz=640, conf_thres=0.001, iou_thres=0.6, max_det=300, task="val",
         single_cls=False, verbose=False, soft_nms=False, mask_ratio=4, plots=False,
-        save_dir=".", **kw):
+        save_dir=".", augment=False, save_json=False, rect=False, cache=False, **kw):
     data = check_dataset(find_cfg(data, "data"))
     imgsz = check_img_size(imgsz, 32)
     nc = 1 if single_cls else int(data["nc"])
     model, variables = load_model_and_weights(weights, cfg, nc, imgsz)
     loader, _ = create_dataloader(data[task if task in data else "val"], imgsz, batch_size,
                                   augment=False, mask_downsample_ratio=mask_ratio,
-                                  overlap_mask=True, task="segment", single_cls=single_cls)
+                                  overlap_mask=True, task="segment", single_cls=single_cls,
+                                  rect=rect, cache_images=cache)
     head_kw = model.spec.layers[-1].kw()
+    # COCO-91 category remap + annotation file for COCOeval (reference
+    # segment/val.py:230,372-390)
+    is_coco = "coco" in str(data.get("val", ""))
+    class_map = None
+    anno_json = None
+    if save_json and is_coco:
+        from yolo_dual_tpu.utils.coco import coco80_to_coco91_class
+        class_map = coco80_to_coco91_class()
+        cand = Path(str(data.get("path", ""))) / "annotations" / "instances_val2017.json"
+        anno_json = cand if cand.exists() else None
     mean, maps, t = evaluate_segment(model, variables, loader, nc,
                                      conf_thres=conf_thres, iou_thres=iou_thres,
                                      max_det=max_det, nm=head_kw.get("nm", 32),
                                      mask_ratio=mask_ratio, names=data.get("names"),
                                      plots=plots, save_dir=save_dir,
-                                     use_soft_nms=soft_nms, verbose=verbose)
+                                     use_soft_nms=soft_nms, verbose=verbose,
+                                     augment=augment, save_json=save_json,
+                                     anno_json=anno_json, class_map=class_map)
     return mean, maps, t
 
 
@@ -91,8 +104,15 @@ def parse_opt(argv=None):
     p.add_argument("--single-cls", action="store_true")
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--soft-nms", action="store_true", help="Gaussian soft-NMS variant")
+    p.add_argument("--augment", action="store_true", help="TTA: multi-scale + flip inference")
+    p.add_argument("--save-json", action="store_true",
+                   help="save COCO-RLE predictions.json (+COCOeval if pycocotools present)")
     p.add_argument("--mask-ratio", type=int, default=4)
     p.add_argument("--plots", action="store_true")
+    p.add_argument("--rect", action="store_true",
+                   help="aspect-bucket batching (static shape set; recovers padding FLOPs)")
+    p.add_argument("--cache", type=str, default=False, nargs="?", const="ram",
+                   help="image cache: ram or disk")
     p.add_argument("--device", default="", help="parity flag (JAX selects devices)")
     p.add_argument("--workers", type=int, default=0, help="parity flag")
     p.add_argument("--half", action="store_true", help="parity flag (bf16 policy instead)")

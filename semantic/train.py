@@ -90,7 +90,8 @@ def train(opt):
     if opt.data_parallel and jax.device_count() > 1:
         from yolo_dual_tpu.parallel import make_mesh
         mesh = make_mesh()
-    trainer = Trainer(model, loss_fn, tx, ema=ModelEMA(), task="semantic", mesh=mesh)
+    trainer = Trainer(model, loss_fn, tx, ema=ModelEMA(), task="semantic", mesh=mesh,
+                      accumulate=accumulate)
     state = trainer.init_state(variables)
     step_fn = trainer.make_train_step()
     stopper = EarlyStopping(patience=opt.patience)

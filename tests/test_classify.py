@@ -1,0 +1,102 @@
+"""Classification pipeline tests: dataset transforms/caching behavior +
+end-to-end learning on a separable 3-class synthetic miniset
+(reference utils/dataloaders.py:1162-1227, utils/augmentations.py:305-396,
+classify/train.py)."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+ROOT = Path(__file__).parents[1]
+sys.path.insert(0, str(ROOT / "classify"))
+
+COLORS = {"red": (220, 30, 30), "green": (30, 220, 30), "blue": (30, 30, 220)}
+
+
+def _make_imageset(root: Path, n_per_class: int = 24, size: int = 48, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    for split, n in (("train", n_per_class), ("val", max(n_per_class // 3, 4))):
+        for cname, rgb in COLORS.items():
+            d = root / split / cname
+            d.mkdir(parents=True, exist_ok=True)
+            for i in range(n):
+                im = rng.integers(0, 60, (size, size, 3), dtype=np.uint8)
+                # dominant color field so even small RandomResizedCrop windows
+                # (scale floor 0.08) carry the class signal
+                x0, y0 = rng.integers(0, size // 4, 2)
+                im[y0:y0 + size // 2 + 8, x0:x0 + size // 2 + 8] = rgb
+                cv2.imwrite(str(d / f"{i}.png"), im[..., ::-1])
+    return root
+
+
+def test_classify_transforms_shapes_and_norm(rng):
+    from yolo_dual_tpu.data.classify import (
+        IMAGENET_MEAN, IMAGENET_STD, center_crop_resize, classify_transforms,
+        denormalize_imagenet, random_resized_crop)
+    im = rng.integers(0, 255, (60, 90, 3), dtype=np.uint8)
+    cc = center_crop_resize(im, 32)
+    assert cc.shape == (32, 32, 3) and cc.dtype == np.uint8
+    out = classify_transforms(im, 32)
+    assert out.shape == (32, 32, 3) and out.dtype == np.float32
+    back = denormalize_imagenet(out)
+    assert -0.01 <= back.min() and back.max() <= 1.01
+    # uniform-gray input maps to exactly (v/255 - mean)/std
+    gray = np.full((40, 40, 3), 128, np.uint8)
+    np.testing.assert_allclose(classify_transforms(gray, 32)[0, 0],
+                               (128 / 255 - IMAGENET_MEAN) / IMAGENET_STD, rtol=1e-5)
+    rr = random_resized_crop(im, 32, rng=__import__("random").Random(0))
+    assert rr.shape == (32, 32, 3)
+
+
+def test_classification_dataset_and_disk_cache(tmp_path, rng):
+    from yolo_dual_tpu.data.classify import ClassificationDataset
+    _make_imageset(tmp_path, n_per_class=4)
+    ds = ClassificationDataset(tmp_path / "train", imgsz=32, augment=False, cache="disk")
+    assert ds.classes == ["blue", "green", "red"]
+    s = ds[0]
+    assert s["image"].shape == (32, 32, 3) and s["image"].dtype == np.float32
+    assert 0 <= int(s["label"]) < 3
+    # disk cache materializes .npy next to the image
+    npys = list((tmp_path / "train").rglob("*.npy"))
+    assert npys, "disk cache did not write .npy files"
+    # augment path produces valid samples too
+    ds_aug = ClassificationDataset(tmp_path / "train", imgsz=32, augment=True, seed=1)
+    s2 = ds_aug[1]
+    assert s2["image"].shape == (32, 32, 3)
+
+
+def test_classify_train_reaches_90pct_on_miniset(tmp_path):
+    """classify/train.py end-to-end (aug pipeline on) must separate a trivial
+    color dataset to >90% top-1 (VERDICT r1 next-#8 done criterion)."""
+    import train as classify_train  # classify/train.py
+    _make_imageset(tmp_path, n_per_class=24)
+    # tiny stand-in backbone so the 1-CPU box compiles fast
+    cfg = dict(nc=3, depth_multiple=1.0, width_multiple=1.0,
+               backbone=[[-1, 1, "Conv", [8, 3, 2]], [-1, 1, "Conv", [16, 3, 2]]],
+               head=[])
+    cfg_file = tmp_path / "mini.yaml"
+    import yaml
+    cfg_file.write_text(yaml.safe_dump(cfg))
+    opt = classify_train.parse_opt([
+        "--model", str(cfg_file), "--data-dir", str(tmp_path), "--cutoff", "2",
+        "--epochs", "25", "--batch-size", "16", "--imgsz", "32",
+        "--lr0", "0.01", "--project", str(tmp_path / "runs"), "--name", "exp",
+        "--seed", "0"])
+    best = classify_train.train(opt)
+    assert best > 0.9, f"top1 {best} <= 0.9 on a trivially separable set"
+
+
+def test_build_classifier_torchvision_arch():
+    """--model resnet18 routes through the native torchvision-family backbone
+    (reference classify/train.py torchvision-model option)."""
+    import jax
+    import jax.numpy as jnp
+    import train as classify_train
+    m = classify_train.build_classifier("resnet18", nc=5)
+    v = m.module.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    out = m.module.apply(v, jnp.zeros((2, 64, 64, 3)), train=False)
+    assert out.shape == (2, 5)

@@ -144,3 +144,49 @@ def test_json_semantic_dataset(tmp_path):
     b = next(iter(loader))
     assert b["image"].shape == (2, 64, 64, 3)
     assert b["mask"].shape == (2, 64, 64)
+
+
+def test_rect_bucket_batching(yolo_ds_dir):
+    """rect -> aspect buckets: every batch has one static shape from the
+    fixed bucket set; images keep full long-side resolution; mixed-aspect
+    batches never occur (TPU replacement for reference rect batching,
+    utils/dataloaders.py:543-566)."""
+    from yolo_dual_tpu.data import create_dataloader
+    loader, ds = create_dataloader(str(yolo_ds_dir / "images" / "train"), 96, 2,
+                                   augment=False, mask_downsample_ratio=4,
+                                   overlap_mask=True, task="segment", rect=True)
+    assert ds.bucket_of is not None and len(ds.bucket_shapes) == len(ds.BUCKET_ASPECTS)
+    shapes_seen = set()
+    n_total = 0
+    for batch in loader:
+        h, w = batch["image"].shape[1:3]
+        assert (h, w) in set(ds.bucket_shapes)
+        assert h % 32 == 0 and w % 32 == 0
+        # mask plane follows the bucket shape
+        assert batch["masks"].shape[-2:] == (h // 4, w // 4)
+        shapes_seen.add((h, w))
+        n_total += int(batch["n_valid"])
+    assert n_total == len(ds)
+    # the fixture images are 96-128 wide x (96..120) tall -> wide buckets
+    assert all(w >= h for (h, w) in shapes_seen)
+    assert len(loader) == sum(1 for _ in iter(loader.__iter__()))
+
+
+def test_image_cache_ram_and_disk(yolo_ds_dir):
+    from yolo_dual_tpu.data import YoloDataset
+    root = str(yolo_ds_dir / "images" / "train")
+    ds = YoloDataset(root, imgsz=96, augment=False, task="detect",
+                     cache_images="ram")
+    _ = ds[0]
+    assert ds.ims[0] is not None                    # RAM slot filled
+    im2, _, _ = ds.load_image(0)                    # second read hits cache
+    ds_disk = YoloDataset(root, imgsz=96, augment=False, task="detect",
+                          cache_images="disk")
+    _ = ds_disk[1]
+    assert ds_disk.npy_files[1].exists()            # sidecar written
+    a, _, _ = ds_disk.load_image(1)                 # reread from .npy
+    b = YoloDataset(root, imgsz=96, augment=False, task="detect").load_image(1)[0]
+    np.testing.assert_array_equal(a, b)
+    for f in ds_disk.npy_files:
+        if f.exists():
+            f.unlink()

@@ -94,3 +94,26 @@ def test_match_predictions_tp_matrix():
     correct = match_predictions(pred_cls, gt_cls, iou, iouv=np.array([0.5, 0.7]))
     assert correct[0].tolist() == [True, True]    # pred0 matches gt0 at 0.9
     assert correct[1].tolist() == [True, False]   # pred1 matches gt1 at 0.6 only @0.5
+
+
+def test_match_predictions_device_parity(rng):
+    """Device matcher (metrics/seg.py match_predictions_device) must equal the
+    numpy reference matcher on random class/IoU inputs with padding."""
+    import jax.numpy as jnp
+    from yolo_dual_tpu.metrics.seg import match_predictions, match_predictions_device
+    for trial in range(5):
+        M, D = 17, 40
+        n_gt = int(rng.integers(0, M + 1))
+        n_det = int(rng.integers(0, D + 1))
+        gt_cls = rng.integers(0, 4, M).astype(np.float32)
+        pred_cls = rng.integers(0, 4, D).astype(np.float32)
+        iou = rng.uniform(0, 1, (M, D)).astype(np.float32)
+        pair_ok = np.zeros((M, D), bool)
+        pair_ok[:n_gt, :n_det] = True
+        iou = np.where(pair_ok, iou, 0.0)
+        ref = match_predictions(pred_cls[:n_det], gt_cls[:n_gt], iou[:n_gt, :n_det])
+        dev = np.asarray(match_predictions_device(jnp.asarray(pred_cls),
+                                                  jnp.asarray(gt_cls),
+                                                  jnp.asarray(iou)))
+        np.testing.assert_array_equal(dev[:n_det], ref, err_msg=f"trial {trial}")
+        assert not dev[n_det:].any()

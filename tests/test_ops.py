@@ -105,10 +105,22 @@ def test_soft_nms_decays_duplicates(rng):
     # distant one and the best duplicate, decays the other below threshold
     boxes = jnp.asarray([[0, 0, 50, 50], [1, 1, 51, 51], [200, 200, 260, 260]], jnp.float32)
     scores = jnp.asarray([0.9, 0.85, 0.6], jnp.float32)
-    keep = np.asarray(soft_nms_padded(boxes, scores, 0.45, 3, sigma=0.5, score_threshold=0.25))
+    keep, kept_scores = soft_nms_padded(boxes, scores, 0.45, 3, sigma=0.5,
+                                        score_threshold=0.25)
+    keep, kept_scores = np.asarray(keep), np.asarray(kept_scores)
     kept = keep[keep >= 0]
     assert 0 in kept and 2 in kept
     assert 1 not in kept  # decayed: exp(-0.92²/0.5) * 0.85 ≈ 0.16 < 0.25
+    # selection-time scores propagate: undecayed picks keep original conf
+    np.testing.assert_allclose(kept_scores[keep >= 0], [0.9, 0.6], atol=1e-6)
+    # decay applies only above iou_thres: a mid-overlap box (iou<=0.45)
+    # keeps its full score (reference decays only iou > iou_thresh)
+    boxes2 = jnp.asarray([[0, 0, 50, 50], [25, 0, 75, 50], [200, 200, 260, 260]], jnp.float32)
+    scores2 = jnp.asarray([0.9, 0.5, 0.6], jnp.float32)
+    k2, s2 = soft_nms_padded(boxes2, scores2, 0.45, 3, sigma=0.5, score_threshold=0.25)
+    k2, s2 = np.asarray(k2), np.asarray(s2)
+    assert set(k2[k2 >= 0]) == {0, 1, 2}
+    np.testing.assert_allclose(sorted(s2[k2 >= 0]), [0.5, 0.6, 0.9], atol=1e-6)
 
 
 def _reference_full_nms(pred, conf_thres, iou_thres, max_det, nm=0, multi_label=False, agnostic=False):
@@ -186,3 +198,47 @@ def test_mask_iou(rng):
     inter = a @ b.T
     union = a.sum(1)[:, None] + b.sum(1)[None] - inter
     np.testing.assert_allclose(out, inter / (union + 1e-7), rtol=1e-5)
+
+
+def test_nms_from_raw_matches_decode_then_nms(rng):
+    """The fused raw->topk->decode->NMS path must be numerically equivalent to
+    Detect decode + nms_batched (f32 model so both decode in f32)."""
+    import jax.numpy as jnp
+    from yolo_dual_tpu.ops.nms import nms_batched, nms_from_raw
+
+    ANCH = ((10, 13, 16, 30, 33, 23), (30, 61, 62, 45, 59, 119))
+    STRIDES = (8, 16)
+    nc, nm, na = 3, 4, 3
+    no = 5 + nc + nm
+    bs = 2
+    raw = []
+    for (ny, nx) in ((16, 16), (8, 8)):
+        r = rng.standard_normal((bs, na, ny, nx, no)).astype(np.float32)
+        r[..., 4] += 1.0  # push some objectness above threshold
+        raw.append(jnp.asarray(r))
+
+    # reference decoded path (heads.py decode math, f32)
+    zs = []
+    for p, anchor, s in zip(raw, ANCH, STRIDES):
+        _, _, ny, nx, _ = p.shape
+        yv, xv = np.meshgrid(np.arange(ny, dtype=np.float32),
+                             np.arange(nx, dtype=np.float32), indexing="ij")
+        grid = jnp.asarray(np.stack([xv, yv], -1) - 0.5)[None, None]
+        agrid = jnp.asarray(np.asarray(anchor, np.float32).reshape(na, 2))[None, :, None, None, :]
+        import jax
+        xy = (jax.nn.sigmoid(p[..., :2]) * 2 + grid) * s
+        wh = (jax.nn.sigmoid(p[..., 2:4]) * 2) ** 2 * agrid
+        y = jnp.concatenate([xy, wh, jax.nn.sigmoid(p[..., 4:5 + nc]), p[..., 5 + nc:]], -1)
+        zs.append(y.reshape(bs, -1, no))
+    pred = jnp.concatenate(zs, axis=1)
+
+    for ml in (False, True):
+        ref_out, ref_nv = nms_batched(pred, conf_thres=0.3, iou_thres=0.5,
+                                      multi_label=ml, max_det=20, nm=nm,
+                                      pre_nms_topk=256)
+        out, nv = nms_from_raw(tuple(raw), ANCH, STRIDES, conf_thres=0.3,
+                               iou_thres=0.5, multi_label=ml, max_det=20, nm=nm,
+                               pre_nms_topk=256)
+        np.testing.assert_array_equal(np.asarray(nv), np.asarray(ref_nv), err_msg=f"ml={ml}")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                                   rtol=1e-5, atol=1e-5, err_msg=f"ml={ml}")

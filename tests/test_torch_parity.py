@@ -133,6 +133,38 @@ def test_forward_parity_tiny_yolo(segment):
     np.testing.assert_allclose(np.asarray(pred), ref_pred.numpy(), rtol=2e-4, atol=5e-3)
 
 
+def test_tta_forward_augment_parity():
+    """TTA parity: our forward_augment (scales 1/0.83/0.67 + lr flip, descale,
+    tail clip) vs the live reference _forward_augment (models/yolo.py:206-235)
+    on a tiny detect model with imported weights."""
+    DetectionModel, _ = _reference_models()
+    torch.manual_seed(0)
+    cfg = tiny_cfg(False)
+    ref = DetectionModel(_torch_cfg(cfg), ch=3, nc=4).float().eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    from yolo_dual_tpu.io import import_torch_state_dict
+    from yolo_dual_tpu.models.model import DetectionModel as Ours, forward_augment
+
+    ours = Ours(cfg, nc=4)
+    variables = ours.init(imgsz=64, bias_prior=False)
+    variables = import_torch_state_dict(variables, sd, spec=ours.spec, strict=True)
+
+    x = np.random.default_rng(3).uniform(0, 1, (1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref_pred, _ = ref(torch.tensor(x), augment=True)
+    pred, protos = forward_augment(ours, variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    assert protos is None  # detect model has no mask branch
+    assert pred.shape == tuple(ref_pred.shape), (pred.shape, ref_pred.shape)
+    # interpolation backends differ slightly (torch vs XLA bilinear); compare
+    # with a modest tolerance and require near-exact agreement on the
+    # identity-scale block (no resize involved)
+    np.testing.assert_allclose(np.asarray(pred), ref_pred.numpy(), rtol=5e-2, atol=5e-2)
+    # identity pass (first 240 rows for this 64px model: P3+P4 of scale 1.0)
+    np.testing.assert_allclose(np.asarray(pred[:, :240]), ref_pred[:, :240].numpy(),
+                               rtol=2e-4, atol=2e-3)
+
+
 def test_train_mode_raw_parity():
     """Training-mode raw head outputs must match too (they feed the loss)."""
     DetectionModel, _ = _reference_models()

@@ -109,10 +109,17 @@ class YoloDataset:
     overlap-encoded (task='segment'), shape0/ratio_pad metadata for eval.
     """
 
+    # Aspect-ratio buckets for rect eval batching: a FIXED set of stride-
+    # aligned shapes so XLA compiles at most len(BUCKET_ASPECTS)+1 variants
+    # instead of the reference's per-batch dynamic rectangles
+    # (reference utils/dataloaders.py:543-566 rect; TPU-first redesign).
+    BUCKET_ASPECTS = (0.5, 0.7, 1.0, 1.4, 2.0)  # h/w thresholds
+
     def __init__(self, path, imgsz: int = 640, augment: bool = False, hyp: Optional[dict] = None,
                  task: str = "detect", mask_ratio: int = 4, overlap: bool = True,
                  max_labels: int = 120, prefix: str = "", single_cls: bool = False,
-                 pad_extra: float = 0.0):
+                 pad_extra: float = 0.0, cache_images=False, rect: bool = False,
+                 stride: int = 32):
         self.imgsz = imgsz
         self.augment = augment
         self.hyp = dict(hyp or {})
@@ -124,6 +131,9 @@ class YoloDataset:
         self.mosaic = self.augment and self.hyp.get("mosaic", 0) > 0
         self.mosaic_border = [-imgsz // 2, -imgsz // 2]
         self.rng = random.Random(0)
+        self.cache_ram = cache_images is True or cache_images == "ram"
+        self.cache_disk = cache_images == "disk"
+        self.stride = stride
 
         self.im_files = self._discover(path, prefix)
         self.label_files = img2label_paths(self.im_files)
@@ -133,6 +143,37 @@ class YoloDataset:
         self.shapes = cache["shapes"]
         self.n = len(self.im_files)
         self.indices = list(range(self.n))
+        self.ims = [None] * self.n          # RAM image cache slots
+        self.npy_files = [Path(f).with_suffix(".npy") for f in self.im_files]
+
+        # rect: assign each image the smallest bucket shape that covers its
+        # aspect ratio (h, w), stride-aligned; mosaic/augment stays square
+        self.rect = rect and not self.augment
+        self.bucket_of = None
+        self.bucket_shapes = None
+        if self.rect and len(self.shapes):
+            self.bucket_shapes = []
+            for a in self.BUCKET_ASPECTS:
+                if a <= 1.0:   # wide image: full width, reduced height
+                    h = int(math.ceil(imgsz * a / stride) * stride)
+                    self.bucket_shapes.append((min(h, imgsz), imgsz))
+                else:          # tall image: full height, reduced width
+                    w = int(math.ceil(imgsz / a / stride) * stride)
+                    self.bucket_shapes.append((imgsz, min(w, imgsz)))
+            # shapes rows are (h, w); r = h/w. The bucket must CONTAIN the
+            # image at full long-side resolution: wide images (r<=1) need the
+            # smallest bucket aspect >= r; tall images the largest aspect <= r.
+            ar = self.shapes[:, 0].astype(np.float64) / self.shapes[:, 1]
+            aspects = np.asarray(self.BUCKET_ASPECTS)
+
+            def pick(r):
+                if r <= 1.0:
+                    ok = np.flatnonzero(aspects >= r)
+                    return int(ok[0]) if len(ok) else int(np.argmin(np.abs(aspects - 1.0)))
+                ok = np.flatnonzero(aspects <= r)
+                return int(ok[-1]) if len(ok) else int(np.argmin(np.abs(aspects - 1.0)))
+
+            self.bucket_of = np.array([pick(r) for r in ar], np.int32)
 
     @staticmethod
     def _discover(path, prefix="") -> List[str]:
@@ -198,9 +239,20 @@ class YoloDataset:
 
     # -- image IO -----------------------------------------------------------
     def load_image(self, i):
-        im = cv2.imread(self.im_files[i])  # BGR
-        assert im is not None, f"Image Not Found {self.im_files[i]}"
-        im = cv2.cvtColor(im, cv2.COLOR_BGR2RGB)
+        # RAM/disk image cache (reference utils/dataloaders.py:568-586):
+        # decoded RGB frames are kept in memory or as .npy sidecar files
+        im = self.ims[i] if self.cache_ram else None
+        if im is None:
+            if self.cache_disk and self.npy_files[i].exists():
+                im = np.load(self.npy_files[i])
+            else:
+                im = cv2.imread(self.im_files[i])  # BGR
+                assert im is not None, f"Image Not Found {self.im_files[i]}"
+                im = cv2.cvtColor(im, cv2.COLOR_BGR2RGB)
+                if self.cache_disk:
+                    np.save(self.npy_files[i].as_posix(), im)
+            if self.cache_ram:
+                self.ims[i] = im
         h0, w0 = im.shape[:2]
         r = self.imgsz / max(h0, w0)
         if r != 1:
@@ -266,7 +318,9 @@ class YoloDataset:
         else:
             img, (h0, w0), (h, w) = self.load_image(index)
             shape0 = (h0, w0)
-            img, ratio, pad = letterbox(img, self.imgsz, auto=False, scaleup=self.augment)
+            new_shape = (self.bucket_shapes[self.bucket_of[index]]
+                         if self.bucket_of is not None else self.imgsz)
+            img, ratio, pad = letterbox(img, new_shape, auto=False, scaleup=self.augment)
             ratio_pad = ((h / h0, w / w0), pad)
             labels = self.labels[index].copy()
             segments = [se.copy() for se in self.segments[index]]
@@ -332,7 +386,8 @@ class YoloDataset:
 
         out = {"image": img, "targets": targets, "tmask": tmask,
                "shape0": np.array(shape0, np.int32),
-               "ratio_pad": np.array(ratio_pad[1] if ratio_pad else (0, 0), np.float32)}
+               "ratio_pad": np.array(ratio_pad[1] if ratio_pad else (0, 0), np.float32),
+               "index": np.int32(index)}
         if masks is not None:
             if not self.overlap and masks.ndim == 3:
                 inst = np.zeros((M, h // self.mask_ratio, w // self.mask_ratio), np.float32)
@@ -346,17 +401,19 @@ class YoloDataset:
 def create_dataloader(path, imgsz, batch_size, stride=32, single_cls=False, hyp=None,
                       augment=False, pad=0.0, rect=False, workers=0, prefix="",
                       shuffle=False, mask_downsample_ratio=1, overlap_mask=False,
-                      seed=0, task=None):
+                      seed=0, task=None, cache_images=False):
     """Reference-compatible constructor (reference utils/segment/dataloaders.py:23-78).
-    Returns (Loader, dataset). rect batching is accepted but runs square (see
-    module docstring)."""
+    Returns (Loader, dataset). rect maps to aspect-ratio BUCKET batching — a
+    fixed shape set instead of per-batch dynamic rectangles (TPU static
+    shapes; see YoloDataset.BUCKET_ASPECTS)."""
     from yolo_dual_tpu.data.loader import Loader
-    if rect:
-        LOGGER.info("rect=True requested: running square fixed-shape batches (TPU static shapes)")
+    if rect and augment:
+        LOGGER.info("rect=True with augment: mosaic pipeline is square; rect ignored")
     task = task or ("segment" if mask_downsample_ratio or overlap_mask else "detect")
     ds = YoloDataset(path, imgsz=imgsz, augment=augment, hyp=hyp, task=task,
                      mask_ratio=mask_downsample_ratio or 1, overlap=overlap_mask,
-                     single_cls=single_cls, prefix=prefix)
+                     single_cls=single_cls, prefix=prefix, cache_images=cache_images,
+                     rect=rect, stride=stride)
     ds.rng.seed(seed)
     loader = Loader(ds, batch_size=batch_size, shuffle=shuffle, seed=seed, drop_last=False)
     return loader, ds

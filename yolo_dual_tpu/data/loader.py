@@ -54,17 +54,31 @@ class Loader:
         return idx
 
     def __len__(self):
-        n = len(self._indices())
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        return sum(1 for _ in self._chunks())
 
-    def _batches(self):
+    def _chunks(self):
+        """Batch index chunks; with aspect buckets, batches never straddle a
+        bucket boundary (each bucket has its own static shape)."""
         idx = self._indices()
         bs = self.batch_size
-        stop = len(idx) - (len(idx) % bs) if self.drop_last else len(idx)
-        for s in range(0, stop, bs):
-            chunk = idx[s:s + bs]
-            if self.drop_last and len(chunk) < bs:
-                break
+        bucket_of = getattr(self.dataset, "bucket_of", None)
+        groups = [idx]
+        if bucket_of is not None:
+            by_bucket = {}
+            for i in idx:
+                by_bucket.setdefault(int(bucket_of[i]), []).append(i)
+            groups = [by_bucket[b] for b in sorted(by_bucket)]
+        for g in groups:
+            stop = len(g) - (len(g) % bs) if self.drop_last else len(g)
+            for s in range(0, stop, bs):
+                chunk = g[s:s + bs]
+                if self.drop_last and len(chunk) < bs:
+                    break
+                yield chunk
+
+    def _batches(self):
+        bs = self.batch_size
+        for chunk in self._chunks():
             samples = [self.dataset[i] for i in chunk]
             if len(chunk) < bs:  # pad final batch to static shape, mark count
                 samples += [samples[-1]] * (bs - len(chunk))

@@ -27,10 +27,36 @@ IMG_EXTS = (".bmp", ".jpeg", ".jpg", ".png", ".tif", ".tiff", ".webp")
 VID_EXTS = (".avi", ".mkv", ".mov", ".mp4", ".mpeg", ".mpg", ".webm")
 
 
-def iter_source(source) -> Iterator[Tuple[str, np.ndarray, Optional[object]]]:
-    """Yield (path, BGR frame, video_capture|None) for files/dirs/videos
-    (reference utils/dataloaders.py LoadImages:238)."""
+def iter_source(source, vid_stride: int = 1,
+                max_frames: Optional[int] = None) -> Iterator[Tuple[str, np.ndarray, Optional[float]]]:
+    """Yield (path, BGR frame, fps|None) — fps is set for video/stream frames,
+    None for still images. Dispatches files/dirs/videos (reference
+    utils/dataloaders.py LoadImages:238), webcam/RTSP streams (LoadStreams:339)
+    and screenshots (LoadScreenshots:189). `max_frames` bounds endless streams."""
     import cv2
+    from yolo_dual_tpu.data.streams import (
+        LoadScreenshots, LoadStreams, is_screenshot_source, is_stream_source)
+    if is_stream_source(source):
+        streams = LoadStreams(source, vid_stride=vid_stride)
+        try:
+            n = 0
+            for paths, frames in streams:
+                for p, im in zip(paths, frames):
+                    yield str(p), im, float(streams.fps[0])
+                n += 1
+                if max_frames is not None and n >= max_frames:
+                    break
+        finally:
+            streams.close()
+        return
+    if is_screenshot_source(source):
+        n = 0
+        for paths, frames in LoadScreenshots(source):
+            yield paths[0], frames[0], None
+            n += 1
+            if max_frames is not None and n >= max_frames:
+                break
+        return
     src = Path(source)
     files: List[Path] = []
     if src.is_dir():
@@ -42,11 +68,18 @@ def iter_source(source) -> Iterator[Tuple[str, np.ndarray, Optional[object]]]:
     for f in files:
         if f.suffix.lower() in VID_EXTS:
             cap = cv2.VideoCapture(str(f))
+            fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+            n = 0
             while True:
                 ok, frame = cap.read()
                 if not ok:
                     break
-                yield str(f), frame, cap
+                n += 1
+                if (n - 1) % vid_stride:
+                    continue
+                yield str(f), frame, fps
+                if max_frames is not None and n >= max_frames:
+                    break
             cap.release()
         else:
             im = cv2.imread(str(f))
@@ -62,7 +95,9 @@ def predict_images(model, variables, source, imgsz: int = 640, conf_thres: float
                    save_dir: str = "runs/predict-seg/exp", save_txt: bool = False,
                    save_img: bool = True, names=None, line_thickness: int = 3,
                    hide_labels: bool = False, hide_conf: bool = False,
-                   use_soft_nms: bool = False):
+                   use_soft_nms: bool = False, augment: bool = False,
+                   vid_stride: int = 1, max_frames: Optional[int] = None,
+                   view_img: bool = False):
     """Run streaming prediction. Returns list of per-image detection arrays."""
     import cv2
     save_dir = increment_path(Path(save_dir), mkdir=True)
@@ -76,7 +111,12 @@ def predict_images(model, variables, source, imgsz: int = 640, conf_thres: float
     @jax.jit
     def forward(variables, image):
         x = normalize_image(image)
-        pred, protos, _ = model.module.apply(variables, x, train=False)
+        if augment:
+            # TTA (reference segment/predict.py --augment → yolo.py:206-235)
+            from yolo_dual_tpu.models.model import forward_augment
+            pred, protos = forward_augment(model, variables, x)
+        else:
+            pred, protos, _ = model.module.apply(variables, x, train=False)
         out, n_valid = nms_batched(pred, conf_thres=conf_thres, iou_thres=iou_thres,
                                    multi_label=False, agnostic=agnostic_nms,
                                    max_det=max_det, nm=nm, classes_mask=classes_mask,
@@ -89,7 +129,9 @@ def predict_images(model, variables, source, imgsz: int = 640, conf_thres: float
 
     results = []
     dt = [Profile(), Profile(), Profile()]
-    for path, im0, cap in iter_source(source):
+    vid_writers = {}   # path -> cv2.VideoWriter (reference predict.py:206-215)
+    for path, im0, fps in iter_source(source, vid_stride=vid_stride,
+                                      max_frames=max_frames):
         with dt[0]:
             im = cv2.cvtColor(im0, cv2.COLOR_BGR2RGB)
             im, ratio, pad = letterbox(im, imgsz, auto=False)
@@ -118,11 +160,29 @@ def predict_images(model, variables, source, imgsz: int = 640, conf_thres: float
                         for box, conf, cls in zip(boxes_native, dets[:, 4], dets[:, 5]):
                             f.write(f"{int(cls)} " + " ".join(f"{v:.2f}" for v in box) + f" {conf:.4f}\n")
             if save_img:
-                outp = Path(save_dir) / Path(path).name
-                cv2.imwrite(str(outp), annotator.result()[..., ::-1])
+                frame_bgr = annotator.result()[..., ::-1]
+                if fps is not None:
+                    # video/stream frame -> one VideoWriter per source
+                    # (fixes the r1 last-frame-overwrite; reference
+                    # segment/predict.py:206-215)
+                    if path not in vid_writers:
+                        stem = Path(path).stem if Path(path).suffix else str(path).replace("://", "_").replace("/", "_")
+                        outp = Path(save_dir) / f"{stem}.mp4"
+                        h0, w0 = im0.shape[:2]
+                        vid_writers[path] = cv2.VideoWriter(
+                            str(outp), cv2.VideoWriter_fourcc(*"mp4v"), fps, (w0, h0))
+                    vid_writers[path].write(np.ascontiguousarray(frame_bgr))
+                else:
+                    outp = Path(save_dir) / Path(path).name
+                    cv2.imwrite(str(outp), frame_bgr)
+            if view_img:
+                cv2.imshow(str(path), annotator.result()[..., ::-1])
+                cv2.waitKey(1)
             results.append(dets)
         LOGGER.info(f"{path}: {n} detections "
                     f"({dt[0].dt * 1e3:.1f}ms pre, {dt[1].dt * 1e3:.1f}ms infer, {dt[2].dt * 1e3:.1f}ms post)")
+    for wtr in vid_writers.values():
+        wtr.release()
     n_img = max(len(results), 1)
     LOGGER.info(f"Speed: {dt[0].t / n_img * 1e3:.1f}ms pre, {dt[1].t / n_img * 1e3:.1f}ms inference, "
                 f"{dt[2].t / n_img * 1e3:.1f}ms post per image; results saved to {save_dir}")

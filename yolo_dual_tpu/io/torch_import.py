@@ -50,9 +50,6 @@ def _unflatten(flat: Dict[Tuple[str, ...], np.ndarray]):
     return tree
 
 
-def _seg_map(seg: str, nxt_is_digit: bool) -> str:
-    return seg
-
 
 def translate_torch_key(key: str, n_backbone: int = 0, head_index: int = -1,
                         head_is_segment: bool = False):

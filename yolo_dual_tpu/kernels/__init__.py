@@ -1,2 +1,6 @@
-from yolo_dual_tpu.kernels.dcn_sampling import dcnv3_core_pallas  # noqa: F401
+from yolo_dual_tpu.kernels.dcn_sampling import (  # noqa: F401
+    dcnv3_core_pallas,
+    dcnv3_sampling,
+    use_pallas,
+)
 from yolo_dual_tpu.kernels.preprocess import letterbox_normalize  # noqa: F401

@@ -44,6 +44,22 @@ def _supported(x, kernel, stride, dilation):
     return stride == 1 and dilation == 1 and onehot_bytes <= 6 * 1024 * 1024
 
 
+def use_pallas(x, kernel: int, stride: int, dilation: int,
+               group: int, group_channels: int) -> bool:
+    """Dispatch heuristic for impl='auto'.
+
+    The one-hot-MXU gather does hin·win/4 redundant FLOPs per corner versus
+    an ideal gather; it wins only where the map is small enough that the MXU
+    would otherwise idle and the sel matrix fits VMEM. Measured on a real
+    v5e (tools/bench_dcn.py, r2): the XLA-gather lax core wins at every zoo
+    shape ≥40×40, so 'auto' selects Pallas only for small maps on TPU."""
+    import jax as _jax
+    if _jax.default_backend() not in ("tpu", "axon"):
+        return False
+    b, h, w, c = x.shape
+    return _supported(x, kernel, stride, dilation) and h * w <= 40 * 40
+
+
 def dcnv3_core_pallas(x, offset, mask, kernel: int, stride: int, pad: int,
                       dilation: int, group: int, group_channels: int,
                       offset_scale: float, interpret: bool = False):
@@ -59,6 +75,49 @@ def dcnv3_core_pallas(x, offset, mask, kernel: int, stride: int, pad: int,
         LOGGER.warning(f"pallas dcnv3 kernel unavailable ({e}); using lax core")
         return dcnv3_core(x, offset, mask, kernel, stride, pad, dilation, group,
                           group_channels, offset_scale)
+
+
+# ---------------------------------------------------------------------------
+# Production entry point: custom-VJP sampling op
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
+def dcnv3_sampling(x, offset, mask, kernel, stride, pad, dilation, group,
+                   group_channels, offset_scale, impl="auto"):
+    """Differentiable DCNv3 sampling with implementation dispatch.
+
+    Forward: Pallas one-hot-MXU kernel (`_dcnv3_pallas_impl`) or lax core by
+    the `use_pallas` heuristic (impl='auto'), or forced with impl='pallas' /
+    impl='lax'. Backward: the hand-derived `nn.dcn.dcnv3_core_bwd`
+    (input scatter-add + offset/mask chain rule — the TPU counterpart of the
+    reference's dcnv3_col2im CUDA backward), identical for both forwards
+    since they compute the same function. This is what `nn.dcn.DCNv3` calls
+    in production, so C3_DCNV3 models train through it."""
+    from yolo_dual_tpu.nn.dcn import dcnv3_core
+    if impl == "pallas" or (impl == "auto" and use_pallas(
+            x, kernel, stride, dilation, group, group_channels)):
+        return dcnv3_core_pallas(x, offset, mask, kernel, stride, pad, dilation,
+                                 group, group_channels, offset_scale)
+    return dcnv3_core(x, offset, mask, kernel, stride, pad, dilation, group,
+                      group_channels, offset_scale)
+
+
+def _dcnv3_sampling_fwd(x, offset, mask, kernel, stride, pad, dilation, group,
+                        group_channels, offset_scale, impl="auto"):
+    out = dcnv3_sampling(x, offset, mask, kernel, stride, pad, dilation, group,
+                         group_channels, offset_scale, impl)
+    return out, (x, offset, mask)
+
+
+def _dcnv3_sampling_bwd(kernel, stride, pad, dilation, group, group_channels,
+                        offset_scale, impl, res, g):
+    from yolo_dual_tpu.nn.dcn import dcnv3_core_bwd
+    x, offset, mask = res
+    return dcnv3_core_bwd(x, offset, mask, g, kernel, stride, pad, dilation,
+                          group, group_channels, offset_scale)
+
+
+dcnv3_sampling.defvjp(_dcnv3_sampling_fwd, _dcnv3_sampling_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("kernel", "pad", "group",
@@ -78,20 +137,12 @@ def _dcnv3_pallas_impl(x, offset, mask, kernel, pad, group, group_channels,
     xg = xp.reshape(b, hin, win, group, gc).transpose(0, 3, 1, 2, 4) \
         .reshape(b * group, hin, win, gc)
 
-    # Sampling pixel coords, computed outside the kernel (pure element-wise):
-    base_y = (jnp.arange(h, dtype=jnp.float32) + (kernel - 1) // 2 + 0.5)
-    base_x = (jnp.arange(w, dtype=jnp.float32) + (kernel - 1) // 2 + 0.5)
-    vals = -((kernel - 1) // 2) + jnp.arange(kernel, dtype=jnp.float32)
-    kx2, ky2 = jnp.meshgrid(vals, vals, indexing="ij")
-    gx = kx2.reshape(kk)
-    gy = ky2.reshape(kk)
-    offs = offset.reshape(b, h, w, group, kk, 2)
-    loc_x = (base_x[None, None, :, None, None] + gx * offset_scale) / win + \
-        offs[..., 0] * offset_scale / win
-    loc_y = (base_y[None, :, None, None, None] + gy * offset_scale) / hin + \
-        offs[..., 1] * offset_scale / hin
-    sx = (loc_x * win - 0.5).transpose(0, 3, 1, 2, 4).reshape(b * group, h, w, kk)
-    sy = (loc_y * hin - 0.5).transpose(0, 3, 1, 2, 4).reshape(b * group, h, w, kk)
+    # Sampling pixel coords from the shared helper (pure element-wise),
+    # guaranteeing bit-identical coordinates with the lax core and backward
+    from yolo_dual_tpu.nn.dcn import dcnv3_coords
+    sxf, syf = dcnv3_coords(offset, kernel, 1, pad, 1, group, h, w, offset_scale)
+    sx = sxf.reshape(b * group, h, w, kk)
+    sy = syf.reshape(b * group, h, w, kk)
     m = mask.reshape(b, h, w, group, kk).transpose(0, 3, 1, 2, 4) \
         .reshape(b * group, h, w, kk).astype(jnp.float32)
 

@@ -77,7 +77,12 @@ class ComputeLossOTA(ComputeLoss):
 
         K = valid.shape[0]
         per_img = K // bs
-        C = self.cand_capacity or min(per_img, 16 * M)
+        # Exact-by-construction capacity: each gt can occupy at most 3 cells
+        # (bias 0.5: center + one horizontal + one vertical neighbor) or 5
+        # cells (bias 1.0 aux branch) × na anchors × nl levels, so no valid
+        # candidate is ever dropped by the compaction (advisor finding r1).
+        cells = 5 if bias >= 1.0 else 3
+        C = self.cand_capacity or min(per_img, cells * self.na * len(levels) * M)
 
         # gather candidate rows once: (K, no)
         rows = jnp.concatenate([
@@ -164,9 +169,14 @@ class ComputeLossOTA(ComputeLoss):
         }
 
     # ------------------------------------------------------------------
-    def __call__(self, p, targets, tmask, imgsz: int = 640):
+    def __call__(self, p, targets, tmask, imgsz=None):
         h = self.hyp
         bs, M = tmask.shape
+        if imgsz is None:
+            # derive pixel space from the level shapes (ny·stride) so callers
+            # that don't plumb imgsz (Trainer._forward_loss) stay correct at
+            # any resolution (advisor finding r1)
+            imgsz = p[0].shape[2] * self.strides[0]
         sel = self._simota_select(p, targets, tmask, imgsz)
         fields, anch, lvl, rows = sel["fields"], sel["anch"], sel["lvl"], sel["rows"]
         idxs, fgs, matched_gts = sel["idxs"], sel["fgs"], sel["matched_gts"]
@@ -235,8 +245,10 @@ class ComputeLossAuxOTA(ComputeLossOTA):
         super().__init__(anchors, strides, nc, hyp, top_k=20,
                          cand_capacity=cand_capacity)
 
-    def __call__(self, p, targets, tmask, imgsz: int = 640):
+    def __call__(self, p, targets, tmask, imgsz=None):
         nl = self.nl
+        if imgsz is None:
+            imgsz = p[0].shape[2] * self.strides[0]
         lead, aux = list(p[:nl]), list(p[nl:])
         lead_loss, lead_items = ComputeLossOTA.__call__(self, lead, targets, tmask, imgsz)
         # aux branch: wider (bias-1.0) candidate set, same matching

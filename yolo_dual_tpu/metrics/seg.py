@@ -130,6 +130,41 @@ def match_predictions(pred_cls, gt_cls, iou, iouv=IOUV):
     return correct
 
 
+def match_predictions_device(pred_cls, gt_cls, iou, iouv=None):
+    """Device (jnp) formulation of `match_predictions`, vmappable over a
+    batch — the greedy unique matching expressed as two argmax passes:
+
+    per threshold t: each det picks its highest-IoU class-matched gt with
+    iou ≥ t (the reference's sort-desc + unique-by-det), then each gt keeps
+    the LOWEST-INDEX det among its claimants — dets are NMS-ordered by
+    confidence, and the reference's unique-by-gt runs on a det-index-ordered
+    array (the iou re-sort between the two dedups is commented out upstream,
+    segment/val.py:117-121), so highest-confidence wins, not highest IoU.
+    Exact-equal to the numpy version up to IoU ties (tests/test_metrics.py).
+
+    pred_cls (D,), gt_cls (M,), iou (M, D) pre-masked to valid rows/cols.
+    Returns (D, T) bool."""
+    import jax
+    import jax.numpy as jnp
+    thr = jnp.asarray(IOUV if iouv is None else iouv, jnp.float32)
+    M, D = iou.shape
+    cls_ok = gt_cls[:, None] == pred_cls[None, :]
+    iou = jnp.where(cls_ok, iou, 0.0)
+
+    def per_thr(t):
+        v = jnp.where(iou >= t, iou, 0.0)                    # (M, D)
+        val = v.max(axis=0)                                  # det's best pair iou
+        best_gt = jnp.argmax(v, axis=0)                      # det's chosen gt
+        det_has = val > 0
+        sel = (best_gt[None, :] == jnp.arange(M)[:, None]) & det_has[None, :]
+        idx_m = jnp.where(sel, jnp.arange(D)[None, :], D)    # (M, D)
+        win_det = idx_m.min(axis=1)                          # gt keeps lowest det idx
+        gt_has = win_det < D
+        return jnp.zeros((D,), bool).at[jnp.clip(win_det, 0, D - 1)].max(gt_has)
+
+    return jax.vmap(per_thr)(thr).T                          # (D, T)
+
+
 class SegmentationConfusionMatrix:
     """Semantic-seg confusion matrix with per-class IoU / mIoU and an ignored
     class (reference unet-lite/Resnet50/val_diceloss.py:69-118, ignore_index=11)."""

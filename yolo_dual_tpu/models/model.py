@@ -242,6 +242,65 @@ class ClassificationModel(BaseModel):
         self.hyp = None
 
 
+def scale_img_nhwc(img: jnp.ndarray, ratio: float, gs: int = 32) -> jnp.ndarray:
+    """Ratio-scale an NHWC batch, zero-pad bottom/right to a gs-multiple with
+    the ImageNet-mean gray 0.447 (reference utils/torch_utils.py:297-308)."""
+    from yolo_dual_tpu.nn.common import resize_bilinear
+    b, h, w, c = img.shape
+    if ratio == 1.0:
+        return img
+    sh, sw = int(h * ratio), int(w * ratio)
+    out = resize_bilinear(img, (sh, sw))
+    ph = math.ceil(h * ratio / gs) * gs
+    pw = math.ceil(w * ratio / gs) * gs
+    return jnp.pad(out, ((0, 0), (0, ph - sh), (0, pw - sw), (0, 0)),
+                   constant_values=0.447)
+
+
+def forward_augment(model: BaseModel, variables, x: jnp.ndarray):
+    """Test-time augmentation: scales [1, 0.83, 0.67] × flips [none, lr, none],
+    descaled/deflipped and tail-clipped exactly like the reference
+    (models/yolo.py:206-235 _forward_augment/_descale_pred/_clip_augmented).
+
+    Returns (preds (b, N, no), protos-or-None). Known upstream gap we improve
+    on: the reference returns protos=None under TTA (segment masks unusable,
+    models/yolo.py:223); we return the identity-pass protos so the mask branch
+    keeps working. Mask coefficients from the flipped/scaled passes are
+    approximate w.r.t. identity protos — boxes (the TTA payoff) are exact."""
+    h, w = x.shape[1:3]
+    gs = int(np.max(model.stride))
+    nl = len(model.spec.strides) or 3
+    scales = (1.0, 0.83, 0.67)
+    flips = (None, "lr", None)
+    ys = []
+    protos0 = None
+    for s, f in zip(scales, flips):
+        xi = x[:, :, ::-1, :] if f == "lr" else x
+        xi = scale_img_nhwc(xi, s, gs)
+        out = model.module.apply(variables, xi, train=False)
+        if isinstance(out, tuple) and len(out) == 3:     # Segment: (pred, protos, raw)
+            pred, protos, _ = out
+            if s == 1.0 and f is None:
+                protos0 = protos
+        else:                                            # Detect: (pred, raw)
+            pred = out[0] if isinstance(out, tuple) else out
+        # de-scale / de-flip (reference _descale_pred, non-inplace branch)
+        px = pred[..., 0:1] / s
+        py = pred[..., 1:2] / s
+        pwh = pred[..., 2:4] / s
+        if f == "lr":
+            px = w - px
+        ys.append(jnp.concatenate([px, py, pwh, pred[..., 4:]], axis=-1))
+    # clip augmented tails (reference _clip_augmented): drop the largest-stride
+    # level of the identity pass and the smallest-stride level of the last pass
+    g = sum(4 ** k for k in range(nl))
+    i0 = (ys[0].shape[1] // g) * 1
+    ys[0] = ys[0][:, :-i0]
+    i1 = (ys[-1].shape[1] // g) * (4 ** (nl - 1))
+    ys[-1] = ys[-1][:, i1:]
+    return jnp.concatenate(ys, axis=1), protos0
+
+
 def build_model(cfg, task: Optional[str] = None, **kw) -> BaseModel:
     """Factory: choose the wrapper from the config contents or explicit task."""
     d = _load_cfg(cfg)

@@ -11,10 +11,13 @@ Capability parity with:
 - C2f_DCN (reference yolov8/seg_jaccardloss_yolov8.py:431-457)
 
 The sampling core here is jax.lax (gather-based bilinear, zero padding) —
-the same role as the reference's dcnv3_core_pytorch debug path; the Pallas
-TPU kernel in kernels/dcn_sampling.py overrides it on TPU where profitable.
-All offset/mask channel layouts byte-match the torch originals so imported
-weights behave identically.
+the same role as the reference's dcnv3_core_pytorch debug path. Production
+dispatch goes through `kernels.dcn_sampling.dcnv3_sampling`, a custom_vjp op
+whose forward picks the Pallas one-hot-MXU kernel or this lax core by shape
+heuristic, and whose backward is the hand-derived input-scatter /
+offset / mask gradient (`dcnv3_core_bwd` below — the TPU counterpart of the
+reference's dcnv3_col2im CUDA backward). All offset/mask channel layouts
+byte-match the torch originals so imported weights behave identically.
 """
 
 from __future__ import annotations
@@ -112,22 +115,19 @@ def deform_conv2d_v2(x, offset, mask, weight, bias, stride=1, padding=1, dilatio
     return out
 
 
-def dcnv3_core(x, offset, mask, kernel: int, stride: int, pad: int, dilation: int,
-               group: int, group_channels: int, offset_scale: float):
-    """DCNv3 sampling (reference functions/dcnv3_func.py:148-189 formulation):
-    channels-last input, per-group offsets + softmaxed masks, grid_sample
-    align_corners=False with zero padding.
+def dcnv3_coords(offset, kernel: int, stride: int, pad: int, dilation: int,
+                 group: int, h: int, w: int, offset_scale: float = 1.0):
+    """Pixel-space sampling coordinates shared by the lax core, the Pallas
+    kernel, and the hand-written backward (so they cannot diverge).
 
-    x (B,H,W,C=g*gc); offset (B,Ho,Wo,g*kk*2) as (Δx,Δy) pairs; mask
-    (B,Ho,Wo,g*kk) softmaxed over kk. Returns (B,Ho,Wo,C)."""
-    b, h, w, c = x.shape
+    offset (B,Ho,Wo,g*kk*2) as (Δx,Δy) pairs. Returns sx, sy of shape
+    (B·g, Ho·Wo·kk) — kk minor — in padded-input pixel coords:
+    s = base + offset_scale·(grid + offset) − 0.5, which is the reference's
+    (ref + grid·scale/size + off·scale/size)·size − 0.5 (grid_sample
+    align_corners=False). ∂s/∂offset = offset_scale — used by the backward."""
+    b, ho, wo = offset.shape[:3]
     kk = kernel * kernel
-    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
-    hin, win = h + 2 * pad, w + 2 * pad
-    ho, wo = offset.shape[1:3]
-
-    # reference points, normalized to padded input, then to pixel coords
-    # ref_x = ((arange(wo)*stride + (k-1)*d/2 + 0.5) / win  (ref _get_reference_points)
+    # reference points (ref _get_reference_points) in padded pixel coords
     base_y = (jnp.arange(ho, dtype=jnp.float32) * stride + (dilation * (kernel - 1)) // 2 + 0.5)
     base_x = (jnp.arange(wo, dtype=jnp.float32) * stride + (dilation * (kernel - 1)) // 2 + 0.5)
     # kernel-point ordering is X-MAJOR: p = ix*kh + iy (reference
@@ -138,23 +138,123 @@ def dcnv3_core(x, offset, mask, kernel: int, stride: int, pad: int, dilation: in
     gy = ky2.reshape(kk)
 
     offs = offset.reshape(b, ho, wo, group, kk, 2)
-    # normalized sampling location in [0,1]: ref + grid*scale/size + off*scale/size
-    loc_x = (base_x[None, None, :, None, None] + gx[None, None, None, None, :] * offset_scale) / win \
-        + offs[..., 0] * offset_scale / win
-    loc_y = (base_y[None, :, None, None, None] + gy[None, None, None, None, :] * offset_scale) / hin \
-        + offs[..., 1] * offset_scale / hin
-    # grid_sample align_corners=False: px = loc*size - 0.5
-    sx = loc_x * win - 0.5
-    sy = loc_y * hin - 0.5
-
-    xg = xp.reshape(b, hin, win, group, group_channels).transpose(0, 3, 1, 2, 4) \
-        .reshape(b * group, hin, win, group_channels)
+    sx = base_x[None, None, :, None, None] \
+        + offset_scale * (gx[None, None, None, None, :] + offs[..., 0]) - 0.5
+    sy = base_y[None, :, None, None, None] \
+        + offset_scale * (gy[None, None, None, None, :] + offs[..., 1]) - 0.5
     sxf = sx.transpose(0, 3, 1, 2, 4).reshape(b * group, ho * wo * kk)
     syf = sy.transpose(0, 3, 1, 2, 4).reshape(b * group, ho * wo * kk)
+    return sxf, syf
+
+
+def dcnv3_core(x, offset, mask, kernel: int, stride: int, pad: int, dilation: int,
+               group: int, group_channels: int, offset_scale: float):
+    """DCNv3 sampling (reference functions/dcnv3_func.py:148-189 formulation):
+    channels-last input, per-group offsets + softmaxed masks, grid_sample
+    align_corners=False with zero padding.
+
+    x (B,H,W,C=g*gc); offset (B,Ho,Wo,g*kk*2) as (Δx,Δy) pairs; mask
+    (B,Ho,Wo,g*kk) softmaxed over kk. Returns (B,Ho,Wo,C)."""
+    b, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    hin, win = h + 2 * pad, w + 2 * pad
+    ho, wo = offset.shape[1:3]
+
+    sxf, syf = dcnv3_coords(offset, kernel, stride, pad, dilation, group,
+                            h, w, offset_scale)
+    xg = xp.reshape(b, hin, win, group, group_channels).transpose(0, 3, 1, 2, 4) \
+        .reshape(b * group, hin, win, group_channels)
+    kk = kernel * kernel
     samp = bilinear_sample_nhwc(xg, sxf, syf).reshape(b, group, ho, wo, kk, group_channels)
     m = mask.reshape(b, ho, wo, group, kk).transpose(0, 3, 1, 2, 4)[..., None]
     out = (samp * m.astype(samp.dtype)).sum(axis=4)               # (b, g, ho, wo, gc)
     return out.transpose(0, 2, 3, 1, 4).reshape(b, ho, wo, c)
+
+
+def dcnv3_core_bwd(x, offset, mask, g_out, kernel: int, stride: int, pad: int,
+                   dilation: int, group: int, group_channels: int,
+                   offset_scale: float):
+    """Hand-derived DCNv3 sampling gradients — the TPU counterpart of the
+    reference's CUDA backward (dcnv3_col2im in
+    models/ops_dcnv3/src/cuda/dcnv3_im2col_cuda.cuh):
+
+    - d/dx: scatter-add of (bilinear corner weight × mask × ḡ) into the four
+      corner positions (XLA scatter — the right TPU primitive for this).
+    - d/doffset: chain through the bilinear weights,
+      ∂samp/∂sx = (1−wy)(v01−v00) + wy(v11−v10), × offset_scale.
+    - d/dmask: ⟨sampled value, ḡ⟩ per kernel point.
+
+    Verified against jax.grad of dcnv3_core in tests/test_dcn.py."""
+    b, h, w, c = x.shape
+    gc = group_channels
+    kk = kernel * kernel
+    hin, win = h + 2 * pad, w + 2 * pad
+    ho, wo = offset.shape[1:3]
+    bg = b * group
+    P = ho * wo * kk
+
+    f32 = jnp.float32
+    xp = jnp.pad(x.astype(f32), ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    xg = xp.reshape(b, hin, win, group, gc).transpose(0, 3, 1, 2, 4) \
+        .reshape(bg, hin * win, gc)
+    sxf, syf = dcnv3_coords(offset.astype(f32), kernel, stride, pad, dilation,
+                            group, h, w, offset_scale)
+    x0 = jnp.floor(sxf)
+    y0 = jnp.floor(syf)
+    wx = sxf - x0
+    wy = syf - y0
+
+    def corner(dy, dx):
+        yi = y0 + dy
+        xi = x0 + dx
+        inb = (xi >= 0) & (xi < win) & (yi >= 0) & (yi < hin)
+        yc = jnp.clip(yi, 0, hin - 1).astype(jnp.int32)
+        xc = jnp.clip(xi, 0, win - 1).astype(jnp.int32)
+        flat = yc * win + xc                                     # (bg, P)
+        v = jnp.take_along_axis(xg, flat[..., None], axis=1) * inb[..., None]
+        return v, flat, inb
+
+    v00, f00, i00 = corner(0, 0)
+    v01, f01, i01 = corner(0, 1)   # +x
+    v10, f10, i10 = corner(1, 0)   # +y
+    v11, f11, i11 = corner(1, 1)
+    w00 = (1 - wx) * (1 - wy)
+    w01 = wx * (1 - wy)
+    w10 = (1 - wx) * wy
+    w11 = wx * wy
+
+    gr = g_out.astype(f32).reshape(b, ho, wo, group, gc).transpose(0, 3, 1, 2, 4) \
+        .reshape(bg, ho * wo, gc)
+    gk = jnp.broadcast_to(gr[:, :, None, :], (bg, ho * wo, kk, gc)).reshape(bg, P, gc)
+    m = mask.astype(f32).reshape(b, ho, wo, group, kk).transpose(0, 3, 1, 2, 4) \
+        .reshape(bg, P)
+    dsamp = gk * m[..., None]                                    # (bg, P, gc)
+
+    samp = (v00 * w00[..., None] + v01 * w01[..., None] +
+            v10 * w10[..., None] + v11 * w11[..., None])
+    dmask_flat = (samp * gk).sum(-1)                             # (bg, P)
+
+    dd_dwx = (1 - wy)[..., None] * (v01 - v00) + wy[..., None] * (v11 - v10)
+    dd_dwy = (1 - wx)[..., None] * (v10 - v00) + wx[..., None] * (v11 - v01)
+    dsx = (dsamp * dd_dwx).sum(-1) * offset_scale                # (bg, P)
+    dsy = (dsamp * dd_dwy).sum(-1) * offset_scale
+
+    dxg = jnp.zeros((bg, hin * win, gc), f32)
+    bidx = jnp.arange(bg)[:, None]
+    for flat, inb, wgt in ((f00, i00, w00), (f01, i01, w01),
+                           (f10, i10, w10), (f11, i11, w11)):
+        dxg = dxg.at[bidx, flat].add(dsamp * (wgt * inb)[..., None])
+    dxp = dxg.reshape(b, group, hin, win, gc).transpose(0, 2, 3, 1, 4) \
+        .reshape(b, hin, win, c)
+    dx = dxp[:, pad:hin - pad, pad:win - pad, :]
+
+    def unflat(t):   # (bg, P) -> (b, ho, wo, group, kk)
+        return t.reshape(b, group, ho, wo, kk).transpose(0, 2, 3, 1, 4)
+
+    doff = jnp.stack([unflat(dsx), unflat(dsy)], axis=-1) \
+        .reshape(b, ho, wo, group * kk * 2)
+    dmask = unflat(dmask_flat).reshape(b, ho, wo, group * kk)
+    return dx.astype(x.dtype), doff.astype(offset.dtype), dmask.astype(mask.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -275,10 +375,12 @@ class DCNv3(nn.Module):
     dilation: int = 1
     group: int = 1
     offset_scale: float = 1.0
+    impl: str = "auto"   # sampling impl: auto | pallas | lax
     dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from yolo_dual_tpu.kernels.dcn_sampling import dcnv3_sampling
         c, k, g = self.channels, self.kernel_size, self.group
         assert c % g == 0
         gc = c // g
@@ -292,8 +394,8 @@ class DCNv3(nn.Module):
         b, h, w, _ = mask.shape
         mask = jax.nn.softmax(mask.reshape(b, h, w, g, kk).astype(jnp.float32), axis=-1)
         mask = mask.reshape(b, h, w, g * kk).astype(proj.dtype)
-        out = dcnv3_core(proj, offset, mask, k, self.stride, self.pad, self.dilation,
-                         g, gc, self.offset_scale)
+        out = dcnv3_sampling(proj, offset, mask, k, self.stride, self.pad,
+                             self.dilation, g, gc, self.offset_scale, self.impl)
         return nn.Dense(c, dtype=self.dtype, name="output_proj")(out)
 
 

@@ -74,8 +74,18 @@ def scale_image(im1_shape, masks: np.ndarray, im0_shape, ratio_pad=None) -> np.n
     bottom, right = int(im1_shape[0] - pad[1]), int(im1_shape[1] - pad[0])
     if masks.ndim < 2:
         raise ValueError(f"masks must be 2D or 3D, got {masks.ndim}D")
-    masks = masks[top:bottom, left:right]
-    masks = cv2.resize(masks.astype(np.float32), (im0_shape[1], im0_shape[0]))
+    masks = masks[top:bottom, left:right].astype(np.float32)
+    size = (im0_shape[1], im0_shape[0])
+    if masks.ndim == 3 and masks.shape[2] > 4:
+        # cv2.resize handles at most 4 channels; resize instance planes in
+        # 4-channel blocks (N can be max_det=300 here)
+        out = np.empty((size[1], size[0], masks.shape[2]), np.float32)
+        for c0 in range(0, masks.shape[2], 4):
+            blk = cv2.resize(masks[:, :, c0:c0 + 4], size)
+            out[:, :, c0:c0 + 4] = blk if blk.ndim == 3 else blk[:, :, None]
+        masks = out
+    else:
+        masks = cv2.resize(masks, size)
     if masks.ndim == 2:
         masks = masks[:, :, None]
     return masks

@@ -76,27 +76,35 @@ def nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thres: float,
 
 def soft_nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thres: float,
                     max_det: int, sigma: float = 0.5,
-                    score_threshold: float = 0.25) -> jnp.ndarray:
-    """Gaussian soft-NMS (reference utils/general-softnms.py:938-967): instead of
-    killing overlaps, decay their scores by exp(-iou²/σ); stop when the best
-    remaining decayed score falls below `score_threshold`."""
+                    score_threshold: float = 0.25):
+    """Gaussian soft-NMS (reference utils/general-softnms.py:938-967): decay
+    overlapping boxes' scores by exp(-iou²/σ) — only where iou > iou_thres,
+    matching the reference's thresholded decay — and stop when the best
+    remaining decayed score falls below `score_threshold`.
+
+    Returns (keep indices (max_det,) int32 -1-padded, selection-time scores
+    (max_det,)): each kept box's confidence reflects any decay applied by
+    earlier selections, as the reference propagates."""
     def cond(carry):
-        scores_cur, out, k = carry
+        scores_cur, out, outs, k = carry
         return jnp.logical_and(k < max_det, jnp.max(scores_cur) > score_threshold)
 
     def body(carry):
-        scores_cur, out, k = carry
+        scores_cur, out, outs, k = carry
         i = jnp.argmax(scores_cur)
         out = out.at[k].set(i.astype(jnp.int32))
+        outs = outs.at[k].set(scores_cur[i])
         iou = _iou_one_vs_many(boxes[i], boxes)
-        decay = jnp.exp(-(iou ** 2) / sigma)
+        decay = jnp.where(iou > iou_thres, jnp.exp(-(iou ** 2) / sigma), 1.0)
         scores_cur = scores_cur * decay
         scores_cur = scores_cur.at[i].set(-1.0)
-        return scores_cur, out, k + 1
+        return scores_cur, out, outs, k + 1
 
     out0 = jnp.full((max_det,), -1, jnp.int32)
-    _, out, _ = jax.lax.while_loop(cond, body, (scores, out0, jnp.int32(0)))
-    return out
+    outs0 = jnp.zeros((max_det,), scores.dtype)
+    _, out, outs, _ = jax.lax.while_loop(
+        cond, body, (scores, out0, outs0, jnp.int32(0)))
+    return out, outs
 
 
 @functools.partial(
@@ -117,6 +125,8 @@ def nms_batched(prediction: jnp.ndarray, conf_thres: float = 0.25,
     n_valid (bs,) int32.
     """
     nc = prediction.shape[2] - nm - 5
+    assert nc >= 1, (f"nms_batched: prediction has {prediction.shape[2]} columns "
+                     f"but nm={nm} implies {nc} classes; pass the model's nm")
 
     def one(x):
         obj = x[:, 4]
@@ -145,15 +155,17 @@ def nms_batched(prediction: jnp.ndarray, conf_thres: float = 0.25,
         offset = jnp.where(agnostic, 0.0, cj * MAX_WH)
         nms_box = cand_box + offset[:, None]
         if use_soft_nms:
-            keep = soft_nms_padded(nms_box, scores, iou_thres, max_det,
-                                   score_threshold=conf_thres)
+            keep, kept_scores = soft_nms_padded(nms_box, scores, iou_thres, max_det,
+                                                score_threshold=conf_thres)
         else:
             keep = nms_padded(nms_box, scores, iou_thres, max_det)
+            kept_scores = None
         valid = keep >= 0
         safe = jnp.maximum(keep, 0)
+        score_col = kept_scores if kept_scores is not None else scores[safe]
         rows = jnp.concatenate([
             cand_box[safe],
-            scores[safe][:, None],
+            score_col[:, None],
             cj[safe][:, None],
             cand_mask[safe],
         ], axis=1)
@@ -161,6 +173,108 @@ def nms_batched(prediction: jnp.ndarray, conf_thres: float = 0.25,
         return rows, valid.sum().astype(jnp.int32)
 
     return jax.vmap(one)(prediction)
+
+
+def _candidate_tables(shapes, anchors, strides):
+    """Per-candidate (grid_xy − 0.5, anchor_wh, stride) constants matching the
+    heads' flatten order (level-major, then (a·ny+gy)·nx+gx; heads.py:71,88)."""
+    grids, anchs, strs = [], [], []
+    for (na, ny, nx), anchor, s in zip(shapes, anchors, strides):
+        yv, xv = np.meshgrid(np.arange(ny, dtype=np.float32),
+                             np.arange(nx, dtype=np.float32), indexing="ij")
+        g = np.stack([xv, yv], -1) - 0.5                       # (ny, nx, 2)
+        g = np.broadcast_to(g[None], (na, ny, nx, 2)).reshape(-1, 2)
+        a = np.asarray(anchor, np.float32).reshape(na, 2)[:, None, None, :]
+        a = np.broadcast_to(a, (na, ny, nx, 2)).reshape(-1, 2)
+        grids.append(g)
+        anchs.append(a)
+        strs.append(np.full((na * ny * nx,), float(s), np.float32))
+    return (jnp.asarray(np.concatenate(grids)), jnp.asarray(np.concatenate(anchs)),
+            jnp.asarray(np.concatenate(strs)))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("anchors", "strides", "conf_thres", "iou_thres", "multi_label",
+                     "agnostic", "max_det", "nm", "pre_nms_topk", "use_soft_nms"),
+)
+def nms_from_raw(raw, anchors, strides, conf_thres: float = 0.25,
+                 iou_thres: float = 0.45, multi_label: bool = False,
+                 agnostic: bool = False, max_det: int = 300, nm: int = 0,
+                 pre_nms_topk: int = 1024, classes_mask: Optional[jnp.ndarray] = None,
+                 use_soft_nms: bool = False):
+    """Fused decode+NMS from RAW head outputs — the TPU-native hot path.
+
+    Equivalent to `Detect` decode followed by `nms_batched` (equivalence
+    tested in tests/test_ops.py), but never materializes the full
+    (bs, N, 5+nc+nm) decoded tensor: confidences are reduced straight off the
+    raw logits (sigmoid is monotonic, so the class argmax/max runs on bf16
+    logits with no (bs, N, nc) sigmoid buffer), top-k selects pre_nms_topk
+    candidates, and only those rows are gathered and decoded. Cuts the decode
+    stage's HBM traffic by ~N/pre_nms_topk (~25× at 640px).
+
+    raw: list of (bs, na, ny, nx, 5+nc+nm) per level (heads.py raw layout).
+    anchors/strides: the head's static config (pass tuples).
+    Returns (out (bs, max_det, 6+nm), n_valid (bs,)) like nms_batched.
+    """
+    no = raw[0].shape[-1]
+    nc = no - nm - 5
+    bs = raw[0].shape[0]
+    shapes = tuple((p.shape[1], p.shape[2], p.shape[3]) for p in raw)
+    grid, anch, strd = _candidate_tables(shapes, anchors, strides)
+    flat = jnp.concatenate([p.reshape(bs, -1, no) for p in raw], axis=1)  # (bs, N, no)
+    n_cand = flat.shape[1]
+    obj = jax.nn.sigmoid(flat[..., 4].astype(jnp.float32))                # (bs, N)
+    cls_logits = flat[..., 5:5 + nc]
+    if classes_mask is not None:
+        cls_logits = jnp.where(classes_mask[None, None, :], cls_logits,
+                               jnp.asarray(-1e4, cls_logits.dtype))
+    k = min(pre_nms_topk, n_cand * (nc if (multi_label and nc > 1) else 1))
+
+    if multi_label and nc > 1:
+        # multi-label needs every (candidate, class) score; keep f32 for
+        # eval-metric parity (this is the val path, not the serving path)
+        cls_conf = jax.nn.sigmoid(cls_logits.astype(jnp.float32)) * obj[..., None]
+        flat_scores = jnp.where(cls_conf > conf_thres, cls_conf, 0.0).reshape(bs, -1)
+        scores, sidx = jax.lax.top_k(flat_scores, k)
+        cand_idx = sidx // nc
+        cj = (sidx % nc).astype(jnp.float32)
+    else:
+        max_logit = cls_logits.max(axis=-1).astype(jnp.float32)           # (bs, N)
+        cj_all = jnp.argmax(cls_logits, axis=-1).astype(jnp.float32)
+        conf = jax.nn.sigmoid(max_logit) * obj
+        conf = jnp.where(jnp.logical_and(conf > conf_thres, obj > conf_thres), conf, 0.0)
+        scores, cand_idx = jax.lax.top_k(conf, k)
+        cj = jnp.take_along_axis(cj_all, cand_idx, axis=1)
+    scores = jnp.where(scores > conf_thres, scores, 0.0)
+
+    rows = jnp.take_along_axis(flat, cand_idx[..., None], axis=1).astype(jnp.float32)
+    g = grid[cand_idx]                                                    # (bs, k, 2)
+    a = anch[cand_idx]
+    s = strd[cand_idx][..., None]
+    xy = (jax.nn.sigmoid(rows[..., :2]) * 2 + g) * s
+    wh = (jax.nn.sigmoid(rows[..., 2:4]) * 2) ** 2 * a
+    box = jnp.asarray(xywh2xyxy(jnp.concatenate([xy, wh], -1).reshape(-1, 4))
+                      ).reshape(bs, k, 4)
+    mask = rows[..., 5 + nc:]
+
+    def one(box_i, scores_i, cj_i, mask_i):
+        offset = jnp.where(agnostic, 0.0, cj_i * MAX_WH)
+        nms_box = box_i + offset[:, None]
+        if use_soft_nms:
+            keep, kept_scores = soft_nms_padded(nms_box, scores_i, iou_thres, max_det,
+                                                score_threshold=conf_thres)
+        else:
+            keep = nms_padded(nms_box, scores_i, iou_thres, max_det)
+            kept_scores = None
+        valid = keep >= 0
+        safe = jnp.maximum(keep, 0)
+        score_col = kept_scores if kept_scores is not None else scores_i[safe]
+        out_rows = jnp.concatenate([box_i[safe], score_col[:, None],
+                                    cj_i[safe][:, None], mask_i[safe]], axis=1)
+        return jnp.where(valid[:, None], out_rows, 0.0), valid.sum().astype(jnp.int32)
+
+    return jax.vmap(one)(box, scores, cj, mask)
 
 
 def non_max_suppression(prediction, conf_thres: float = 0.25, iou_thres: float = 0.45,

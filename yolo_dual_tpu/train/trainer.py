@@ -71,6 +71,9 @@ class Trainer:
     task: str = "semantic"           # semantic | detect | segment | classify
     mesh: Any = None                 # jax.sharding.Mesh for data parallelism
     remat: bool = False              # jax.checkpoint the forward (trade FLOPs for HBM)
+    accumulate: int = 1              # grad-accumulation factor (must match the
+    # optax.MultiSteps every_k_schedule in `tx`): EMA advances only on real
+    # optimizer steps, like the reference's once-per-step ModelEMA.update
 
     def init_state(self, variables: dict) -> TrainState:
         params = variables["params"]
@@ -136,7 +139,15 @@ class Trainer:
             params = optax.apply_updates(state.params, updates)
             ema_state = state.ema
             if self.ema is not None:
-                ema_state = self.ema.update(state.ema, {"params": params, "batch_stats": new_bs})
+                new_ema = self.ema.update(state.ema, {"params": params, "batch_stats": new_bs})
+                if self.accumulate > 1:
+                    # params only change on MultiSteps boundaries; advancing
+                    # the EMA ramp on no-op micro-steps would speed it up
+                    # `accumulate`× vs the reference (advisor finding r1)
+                    boundary = (state.step + 1) % self.accumulate == 0
+                    new_ema = jax.tree_util.tree_map(
+                        lambda n, o: jnp.where(boundary, n, o), new_ema, state.ema)
+                ema_state = new_ema
             new_state = state.replace(params=params, batch_stats=new_bs,
                                       opt_state=opt_state, ema=ema_state,
                                       step=state.step + 1)
