@@ -55,20 +55,26 @@ def _slope(run, n1, n2, repeats=4):
 
 
 def bench_inference(bs=32, imgsz=640, n1=2, n2=100):
+    """Measures the production serving path: conv+BN-folded forward (fuse) +
+    fused decode+NMS off the raw head maps (nms_from_raw) — the same op path
+    engine/{validator,predictor}.py and serve.py run."""
     from yolo_dual_tpu.models.model import SegmentationModel
-    from yolo_dual_tpu.ops.nms import nms_batched
+    from yolo_dual_tpu.ops.nms import nms_from_raw
 
     model = SegmentationModel(CFG, dtype=jnp.bfloat16)
     variables = model.init(imgsz=imgsz)
+    model, variables = model.fuse(variables)
+    head_kw = model.spec.layers[-1].kw()
+    anchors, strides = head_kw["anchors"], head_kw["strides"]
     x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (bs, imgsz, imgsz, 3)).astype(np.float32))
 
     @jax.jit
     def loop(variables, x, iters):
         def body(i, acc):
             xi = (x + i.astype(jnp.float32) * 1e-6).astype(jnp.bfloat16)
-            pred, protos, _ = model.module.apply(variables, xi, train=False)
-            out, nv = nms_batched(pred.astype(jnp.float32), conf_thres=0.25,
-                                  iou_thres=0.45, max_det=300, nm=32, pre_nms_topk=1024)
+            levels, protos = model.module.apply(variables, xi, train=False, decode=False)
+            out, nv = nms_from_raw(levels, anchors, strides, conf_thres=0.25,
+                                   iou_thres=0.45, max_det=300, nm=32, pre_nms_topk=1024)
             return acc + out[:, :, 4].sum() + protos.astype(jnp.float32).mean()
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 

@@ -83,14 +83,18 @@ def export_tflite(saved_model_dir: Path, out: Path):
 
 
 def run(weights="", cfg="yolov5s-seg.yaml", nc=80, imgsz=640,
-        include=("torchpt",), out_dir="runs/export"):
+        include=("torchpt",), out_dir="runs/export", fuse=False):
     model, variables = load_model(weights, cfg, nc, imgsz)
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     stem = Path(cfg).stem
     results = {}
     if "torchpt" in include:
+        # .pt keeps the unfused layout (torch importers expect BN keys)
         results["torchpt"] = export_torchpt(model, variables, out_dir / f"{stem}.pt")
+    if fuse:
+        # conv+BN folding shrinks the exported inference graph
+        model, variables = model.fuse(variables)
     if "savedmodel" in include or "tflite" in include:
         sm = export_savedmodel(model, variables, imgsz, out_dir / f"{stem}_saved_model")
         results["savedmodel"] = sm
@@ -108,6 +112,8 @@ def parse_opt(argv=None):
     p.add_argument("--include", nargs="+", default=["torchpt"],
                    choices=["torchpt", "savedmodel", "tflite"])
     p.add_argument("--out-dir", default=str(ROOT / "runs" / "export"))
+    p.add_argument("--fuse", action="store_true",
+                   help="fold conv+BN before SavedModel/TFLite export")
     return p.parse_args(argv)
 
 

@@ -28,7 +28,8 @@ def run(weights="", cfg="yolov5s-seg.yaml", source="data/images", imgsz=640,
         agnostic_nms=False, retina_masks=False, project="runs/predict-seg",
         name="exp", save_txt=False, nosave=False, line_thickness=3,
         hide_labels=False, hide_conf=False, soft_nms=False, nc=80, data=None,
-        augment=False, vid_stride=1, max_frames=None, view_img=False, **kw):
+        augment=False, vid_stride=1, max_frames=None, view_img=False,
+        fuse=True, **kw):
     imgsz = check_img_size(imgsz, 32)
     if data:
         from yolo_dual_tpu.utils.general import check_dataset
@@ -46,7 +47,7 @@ def run(weights="", cfg="yolov5s-seg.yaml", source="data/images", imgsz=640,
         save_dir=str(Path(project) / name), save_txt=save_txt, save_img=not nosave,
         names=names, line_thickness=line_thickness, hide_labels=hide_labels,
         hide_conf=hide_conf, use_soft_nms=soft_nms, augment=augment,
-        vid_stride=vid_stride, max_frames=max_frames, view_img=view_img)
+        vid_stride=vid_stride, max_frames=max_frames, view_img=view_img, fuse=fuse)
 
 
 def parse_opt(argv=None):
@@ -74,6 +75,8 @@ def parse_opt(argv=None):
     p.add_argument("--vid-stride", type=int, default=1, help="video frame-rate stride")
     p.add_argument("--max-frames", type=int, default=None, help="stop streams after N frames")
     p.add_argument("--view-img", action="store_true", help="show annotated frames live")
+    p.add_argument("--no-fuse", dest="fuse", action="store_false",
+                   help="disable conv+BN inference folding")
     p.add_argument("--nc", type=int, default=80)
     p.add_argument("--device", default="", help="parity flag")
     return p.parse_args(argv)

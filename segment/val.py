@@ -59,7 +59,8 @@ def load_model_and_weights(weights, cfg, nc, imgsz):
 def run(data="coco128-seg.yaml", weights="", cfg="yolov5s-seg.yaml", batch_size=16,
         imgsz=640, conf_thres=0.001, iou_thres=0.6, max_det=300, task="val",
         single_cls=False, verbose=False, soft_nms=False, mask_ratio=4, plots=False,
-        save_dir=".", augment=False, save_json=False, rect=False, cache=False, **kw):
+        save_dir=".", augment=False, save_json=False, rect=False, cache=False,
+        fuse=True, **kw):
     data = check_dataset(find_cfg(data, "data"))
     imgsz = check_img_size(imgsz, 32)
     nc = 1 if single_cls else int(data["nc"])
@@ -86,7 +87,8 @@ def run(data="coco128-seg.yaml", weights="", cfg="yolov5s-seg.yaml", batch_size=
                                      plots=plots, save_dir=save_dir,
                                      use_soft_nms=soft_nms, verbose=verbose,
                                      augment=augment, save_json=save_json,
-                                     anno_json=anno_json, class_map=class_map)
+                                     anno_json=anno_json, class_map=class_map,
+                                     fuse=fuse)
     return mean, maps, t
 
 
@@ -113,6 +115,8 @@ def parse_opt(argv=None):
                    help="aspect-bucket batching (static shape set; recovers padding FLOPs)")
     p.add_argument("--cache", type=str, default=False, nargs="?", const="ram",
                    help="image cache: ram or disk")
+    p.add_argument("--no-fuse", dest="fuse", action="store_false",
+                   help="disable conv+BN inference folding")
     p.add_argument("--device", default="", help="parity flag (JAX selects devices)")
     p.add_argument("--workers", type=int, default=0, help="parity flag")
     p.add_argument("--half", action="store_true", help="parity flag (bf16 policy instead)")

@@ -34,17 +34,21 @@ def main(opt):
     from val import find_cfg, load_model_and_weights
     from yolo_dual_tpu.data.augment import letterbox
     from yolo_dual_tpu.ops import scale_boxes
-    from yolo_dual_tpu.ops.nms import nms_batched
+    from yolo_dual_tpu.ops.nms import nms_from_raw
 
     model, variables = load_model_and_weights(opt.weights, opt.cfg, opt.nc, opt.imgsz)
+    model, variables = model.fuse(variables)  # conv+BN folding for serving
     head_kw = model.spec.layers[-1].kw()
     nm = head_kw.get("nm", 32)
+    anchors, strides = head_kw["anchors"], head_kw["strides"]
 
     @jax.jit
     def infer(v, x):
-        pred, protos, _ = model.module.apply(v, x.astype(jnp.float32) / 255.0, train=False)
-        out, nv = nms_batched(pred, conf_thres=opt.conf_thres, iou_thres=opt.iou_thres,
-                              max_det=opt.max_det, nm=nm)
+        # fused decode+NMS from raw head maps — the serving hot path
+        levels, protos = model.module.apply(v, x.astype(jnp.float32) / 255.0,
+                                            train=False, decode=False)
+        out, nv = nms_from_raw(levels, anchors, strides, conf_thres=opt.conf_thres,
+                               iou_thres=opt.iou_thres, max_det=opt.max_det, nm=nm)
         return out, nv
 
     # warmup so first request is fast

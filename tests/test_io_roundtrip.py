@@ -88,10 +88,51 @@ def test_multibackend_torchpt(tmp_path):
     sd = {k: torch.tensor(x) for k, x in export_torch_state_dict(v, m.spec).items()}
     pt = tmp_path / "w.pt"
     torch.save({"model": sd}, pt)
-    mb = MultiBackend(pt, cfg=cfg, nc=2, imgsz=32)
+    # fuse=False: exact weight round-trip; the fused default is covered below
+    mb = MultiBackend(pt, cfg=cfg, nc=2, imgsz=32, fuse=False)
     pred, protos = mb.forward(np.zeros((1, 32, 32, 3), np.float32))
     assert np.isfinite(np.asarray(pred)).all()
     # outputs must equal the source model's (weights round-tripped)
     import jax.numpy as jnp
     ref_pred, ref_protos, _ = m.apply(v, jnp.zeros((1, 32, 32, 3)), train=False)
     np.testing.assert_allclose(np.asarray(pred), np.asarray(ref_pred), rtol=1e-5, atol=1e-5)
+    # fused default stays numerically close (conv+BN folding + backend conv precision)
+    mbf = MultiBackend(pt, cfg=cfg, nc=2, imgsz=32)
+    predf, _ = mbf.forward(np.zeros((1, 32, 32, 3), np.float32))
+    np.testing.assert_allclose(np.asarray(predf), np.asarray(ref_pred), rtol=5e-3, atol=5e-2)
+
+
+def test_multibackend_torchscript(tmp_path):
+    """MultiBackend runs a TorchScript archive through the torch-CPU bridge."""
+    torch = pytest.importorskip("torch")
+    from yolo_dual_tpu.io.multibackend import MultiBackend
+
+    class Tiny(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv = torch.nn.Conv2d(3, 4, 1)
+
+        def forward(self, x):
+            return self.conv(x).flatten(2).transpose(1, 2)  # (b, hw, 4)
+
+    ts = tmp_path / "w.torchscript"
+    torch.jit.script(Tiny()).save(str(ts))
+    mb = MultiBackend(ts, imgsz=16)
+    assert mb.kind == "torchscript"
+    pred, protos = mb.warmup((1, 16, 16, 3)) and mb.forward(np.ones((1, 16, 16, 3), np.float32))
+    assert pred.shape == (1, 256, 4) and protos is None
+
+
+def test_multibackend_kind_detection(tmp_path):
+    from yolo_dual_tpu.io.multibackend import detect_kind
+    import pytest as _pytest
+    (tmp_path / "sm").mkdir()
+    (tmp_path / "sm" / "saved_model.pb").touch()
+    assert detect_kind(tmp_path / "sm") == "savedmodel"
+    (tmp_path / "ck").mkdir()
+    assert detect_kind(tmp_path / "ck") == "orbax"
+    assert detect_kind(tmp_path / "w.pt") == "torchpt"
+    assert detect_kind(tmp_path / "w.tflite") == "tflite"
+    assert detect_kind(tmp_path / "w.torchscript") == "torchscript"
+    with _pytest.raises(ValueError):
+        detect_kind(tmp_path / "missing.bin")

@@ -148,3 +148,54 @@ def test_segment_train_step_runs_and_is_finite(rng):
         assert np.isfinite(float(m["loss"]))
         l0 = l0 or float(m["loss"])
     assert float(m["loss"]) <= l0 * 1.5
+
+
+def test_segment_train_2d_mesh_matches_1d(rng):
+    """Spatial partitioning (2-D data×space mesh, image H sharded) must give
+    the same training trajectory as plain data parallelism — XLA inserts the
+    conv halo exchanges; BN stats stay global (reductions over sharded axes
+    are auto all-reduced). This is the dense-vision analog of sequence
+    parallelism (SURVEY §2.4)."""
+    from jax.sharding import Mesh
+    from yolo_dual_tpu.parallel import shard_batch
+    from yolo_dual_tpu.parallel.mesh import make_mesh_2d
+
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("need 8 virtual CPU devices")
+
+    model = SegmentationModel(TINY_SEG)
+    variables = model.init(imgsz=64)
+    hyp = dict(lr0=0.01, lrf=1.0, warmup_epochs=0.0, momentum=0.9, box=0.05,
+               cls=0.5, obj=1.0, anchor_t=4.0, cls_pw=1.0, obj_pw=1.0, fl_gamma=0.0)
+    head_kw = model.spec.layers[-1].kw()
+    loss = ComputeSegmentLoss(head_kw["anchors"], head_kw["strides"], 3, 4, hyp, overlap=True)
+
+    bs, M = 8, 4
+    r = np.random.default_rng(11)
+    targets = np.zeros((bs, M, 5), np.float32)
+    tmask = np.zeros((bs, M), bool)
+    targets[:, 0] = [1, 0.5, 0.5, 0.3, 0.4]
+    tmask[:, 0] = True
+    masks = np.zeros((bs, 16, 16), np.float32)
+    masks[:, 4:12, 4:12] = 1.0
+    base_batch = {
+        "image": r.uniform(0, 1, (bs, 64, 64, 3)).astype(np.float32),
+        "targets": targets, "tmask": tmask, "masks": masks,
+    }
+
+    def run(mesh):
+        tx = smart_optimizer(variables["params"], "SGD", hyp, epochs=3, steps_per_epoch=3)
+        tr = Trainer(model, loss, tx, ema=None, task="segment", mesh=mesh)
+        state = tr.init_state(jax.tree_util.tree_map(jnp.array, variables))
+        step = tr.make_train_step(donate=False)
+        batch = shard_batch({k: jnp.asarray(v) for k, v in base_batch.items()}, mesh)
+        out = []
+        for _ in range(3):
+            state, m = step(state, batch)
+            out.append(float(m["loss"]))
+        return out
+
+    one_d = run(Mesh(np.asarray(devs[:8]), ("data",)))
+    two_d = run(make_mesh_2d(4, 2))
+    np.testing.assert_allclose(one_d, two_d, rtol=2e-4)

@@ -130,3 +130,27 @@ def test_attempt_load_single_and_ensemble(tmp_path):
     assert vv["params"]
     ens = attempt_load([tmp_path / "w1", tmp_path / "w2"], cfg, nc=2, imgsz=64)
     assert isinstance(ens, Ensemble) and len(ens.variables_list) == 2
+
+
+def test_prune_sparsity():
+    """prune() zeroes the smallest |w| per conv kernel and reports sparsity
+    (reference utils/torch_utils.py prune/sparsity)."""
+    import numpy as np
+    from yolo_dual_tpu.utils.prune import prune, sparsity
+
+    rng = np.random.default_rng(0)
+    params = {"model_0": {"conv": {"kernel": rng.normal(0, 1, (3, 3, 8, 16)).astype(np.float32),
+                                   "bias": rng.normal(0, 1, 16).astype(np.float32)},
+                          "bn": {"scale": np.ones(16, np.float32)}}}
+    pruned, sp = prune(params, amount=0.3)
+    k = pruned["model_0"]["conv"]["kernel"]
+    frac = (np.asarray(k) == 0).mean()
+    assert 0.25 <= frac <= 0.35
+    # bias and bn untouched
+    assert (pruned["model_0"]["conv"]["bias"] != 0).all()
+    assert sparsity(pruned) > 0.2
+    # surviving weights are the largest-magnitude ones
+    orig = params["model_0"]["conv"]["kernel"]
+    kept_min = np.abs(np.asarray(k)[np.asarray(k) != 0]).min()
+    dropped_max = np.abs(orig[np.asarray(k) == 0]).max()
+    assert kept_min >= dropped_max

@@ -92,7 +92,11 @@ class AutoShape:
     (reference models/common.py:627-724)."""
 
     def __init__(self, model, variables, imgsz: int = 640, conf: float = 0.25,
-                 iou: float = 0.45, max_det: int = 300, names: Optional[dict] = None):
+                 iou: float = 0.45, max_det: int = 300, names: Optional[dict] = None,
+                 fuse: bool = True):
+        if fuse:
+            # conv+BN folding, like the reference hub loader (attempt_load fuse=True)
+            model, variables = model.fuse(variables)
         self.model = model
         self.variables = variables
         self.imgsz = imgsz
@@ -102,18 +106,25 @@ class AutoShape:
         self.names = names or getattr(model, "names", {})
         head = model.spec.layers[-1]
         self.nm = head.kw().get("nm", 0) if head.name == "Segment" else 0
+        anchors, strides = head.kw()["anchors"], head.kw()["strides"]
 
         import jax
         import jax.numpy as jnp
-        from yolo_dual_tpu.ops.nms import nms_batched
+        from yolo_dual_tpu.ops.nms import nms_from_raw
 
         @jax.jit
         def _fwd(v, x):
-            out = model.module.apply(v, x.astype(jnp.float32) / 255.0, train=False)
-            pred = out[0]
-            protos = out[1] if head.name == "Segment" else None
-            dets, nv = nms_batched(pred, conf_thres=self.conf, iou_thres=self.iou,
-                                   max_det=self.max_det, nm=self.nm)
+            # fused decode+NMS straight off the raw head maps
+            out = model.module.apply(v, x.astype(jnp.float32) / 255.0,
+                                     train=False, decode=False)
+            if head.name == "Segment":
+                levels, protos = out
+            else:
+                levels, protos = out, None
+                if head.name == "DetectAux":
+                    levels = levels[:len(anchors)]  # lead head only at inference
+            dets, nv = nms_from_raw(levels, anchors, strides, conf_thres=self.conf,
+                                    iou_thres=self.iou, max_det=self.max_det, nm=self.nm)
             return dets, nv, protos
 
         self._fwd = _fwd

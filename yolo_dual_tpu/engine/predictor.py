@@ -19,7 +19,7 @@ from yolo_dual_tpu.data.augment import letterbox
 from yolo_dual_tpu.data.loader import normalize_image
 from yolo_dual_tpu.ops import process_mask, scale_boxes
 from yolo_dual_tpu.ops.mask_ops import scale_image
-from yolo_dual_tpu.ops.nms import nms_batched
+from yolo_dual_tpu.ops.nms import nms_batched, nms_from_raw
 from yolo_dual_tpu.utils.general import LOGGER, Profile, increment_path
 from yolo_dual_tpu.utils.plots import Annotator, colors
 
@@ -97,11 +97,16 @@ def predict_images(model, variables, source, imgsz: int = 640, conf_thres: float
                    hide_labels: bool = False, hide_conf: bool = False,
                    use_soft_nms: bool = False, augment: bool = False,
                    vid_stride: int = 1, max_frames: Optional[int] = None,
-                   view_img: bool = False):
+                   view_img: bool = False, fuse: bool = True):
     """Run streaming prediction. Returns list of per-image detection arrays."""
     import cv2
     save_dir = increment_path(Path(save_dir), mkdir=True)
     names = names or {i: str(i) for i in range(model.nc)}
+    if fuse:
+        # conv+BN weight folding (reference predict.py attempt_load → fuse())
+        model, variables = model.fuse(variables)
+    head_kw = model.spec.layers[-1].kw()
+    anchors, strides = head_kw["anchors"], head_kw["strides"]
     classes_mask = None
     if classes is not None:
         cm = np.zeros((model.nc,), bool)
@@ -115,12 +120,17 @@ def predict_images(model, variables, source, imgsz: int = 640, conf_thres: float
             # TTA (reference segment/predict.py --augment → yolo.py:206-235)
             from yolo_dual_tpu.models.model import forward_augment
             pred, protos = forward_augment(model, variables, x)
+            out, n_valid = nms_batched(pred, conf_thres=conf_thres, iou_thres=iou_thres,
+                                       multi_label=False, agnostic=agnostic_nms,
+                                       max_det=max_det, nm=nm, classes_mask=classes_mask,
+                                       use_soft_nms=use_soft_nms)
         else:
-            pred, protos, _ = model.module.apply(variables, x, train=False)
-        out, n_valid = nms_batched(pred, conf_thres=conf_thres, iou_thres=iou_thres,
-                                   multi_label=False, agnostic=agnostic_nms,
-                                   max_det=max_det, nm=nm, classes_mask=classes_mask,
-                                   use_soft_nms=use_soft_nms)
+            # fused decode+NMS from raw head maps (ops/nms.py nms_from_raw)
+            levels, protos = model.module.apply(variables, x, train=False, decode=False)
+            out, n_valid = nms_from_raw(levels, anchors, strides, conf_thres=conf_thres,
+                                        iou_thres=iou_thres, multi_label=False,
+                                        agnostic=agnostic_nms, max_det=max_det, nm=nm,
+                                        classes_mask=classes_mask, use_soft_nms=use_soft_nms)
         return out, n_valid, protos
 
     @jax.jit

@@ -20,7 +20,7 @@ from yolo_dual_tpu.data.loader import normalize_image
 from yolo_dual_tpu.metrics import SegmentationConfusionMatrix, ap_per_class_box_and_mask, Metrics
 from yolo_dual_tpu.metrics.seg import match_predictions_device
 from yolo_dual_tpu.ops import box_iou, mask_iou, process_mask, xywh2xyxy
-from yolo_dual_tpu.ops.nms import nms_batched
+from yolo_dual_tpu.ops.nms import nms_batched, nms_from_raw
 from yolo_dual_tpu.utils.general import LOGGER, Profile, colorstr
 
 
@@ -30,8 +30,16 @@ def evaluate_segment(model, variables, loader, nc: int, conf_thres: float = 0.00
                      save_dir: str = ".", use_soft_nms: bool = False,
                      compute_loss=None, verbose: bool = False,
                      augment: bool = False, save_json: bool = False,
-                     anno_json=None, class_map=None):
+                     anno_json=None, class_map=None, fuse: bool = True):
     """Returns ((mp,mr,map50,map)*box+(…)*mask, per-class maps, times_ms)."""
+    can_raw = hasattr(model, "spec") and model.spec.layers[-1].name == "Segment"
+    if fuse and hasattr(model, "fuse"):
+        # conv+BN weight folding for inference (reference val.py attempt_load
+        # → model.fuse()); forward ≡ unfused, compiles without the BN chain
+        model, variables = model.fuse(variables)
+    if can_raw:
+        head_kw = model.spec.layers[-1].kw()
+        anchors, strides = head_kw["anchors"], head_kw["strides"]
 
     @jax.jit
     def eval_batch(variables, image, targets, tmask, gmasks):
@@ -41,15 +49,25 @@ def evaluate_segment(model, variables, loader, nc: int, conf_thres: float = 0.00
         concatenates. Matching math: reference segment/val.py:91-125,
         device formulation in metrics/seg.py match_predictions_device."""
         x = normalize_image(image)
-        if augment:
-            # TTA (reference segment/val.py:141 --augment → yolo.py:206-235)
-            from yolo_dual_tpu.models.model import forward_augment
-            pred, protos = forward_augment(model, variables, x)
+        if augment or not can_raw:
+            if augment:
+                # TTA (reference segment/val.py:141 --augment → yolo.py:206-235)
+                from yolo_dual_tpu.models.model import forward_augment
+                pred, protos = forward_augment(model, variables, x)
+            else:
+                pred, protos, _ = model.module.apply(variables, x, train=False)
+            out, n_valid = nms_batched(pred, conf_thres=conf_thres, iou_thres=iou_thres,
+                                       multi_label=True, max_det=max_det, nm=nm,
+                                       use_soft_nms=use_soft_nms)
         else:
-            pred, protos, raw = model.module.apply(variables, x, train=False)
-        out, n_valid = nms_batched(pred, conf_thres=conf_thres, iou_thres=iou_thres,
-                                   multi_label=True, max_det=max_det, nm=nm,
-                                   use_soft_nms=use_soft_nms)
+            # fused decode+NMS straight off the raw head maps — never
+            # materializes the (bs, N, 5+nc+nm) decoded tensor (ops/nms.py
+            # nms_from_raw, equivalence-tested against decode+nms_batched)
+            levels, protos = model.module.apply(variables, x, train=False, decode=False)
+            out, n_valid = nms_from_raw(levels, anchors, strides, conf_thres=conf_thres,
+                                        iou_thres=iou_thres, multi_label=True,
+                                        max_det=max_det, nm=nm, pre_nms_topk=4096,
+                                        use_soft_nms=use_soft_nms)
         h, w = image.shape[1:3]
         M = targets.shape[1]
         D = out.shape[1]

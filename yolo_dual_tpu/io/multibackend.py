@@ -2,12 +2,14 @@
 
 Capability parity with reference models/common.py:320-624 DetectMultiBackend
 (PT/TorchScript/ONNX/OpenVINO/TRT/CoreML/TF/TFLite/Paddle/Triton behind one
-`forward`). The TPU-native equivalent loads the formats that make sense here:
+`forward`). The TPU-native equivalent loads every format that exists in this
+stack's ecosystem:
 
-  - orbax checkpoint directory (native)
-  - reference / exported .pt state_dicts (via the torch importer)
-  - TF SavedModel produced by export.py (runs via tensorflow — useful to
-    validate an export round trip)
+  - orbax checkpoint directory (native; conv+BN-fused for inference)
+  - reference / exported .pt state_dicts (via the torch importer; fused)
+  - TorchScript .torchscript archives (runs via torch-CPU, NCHW bridge)
+  - TF SavedModel produced by export.py (runs via tensorflow)
+  - TFLite .tflite flatbuffers produced by export.py (tf.lite.Interpreter)
 
 All backends expose `forward(x_nhwc_float)` -> (pred, protos|None) and a
 `warmup()` like the reference.
@@ -24,20 +26,30 @@ import numpy as np
 from yolo_dual_tpu.utils.general import LOGGER
 
 
+def detect_kind(w: Path) -> str:
+    """Classify a weights path. Directory layouts: orbax checkpoints carry
+    ocdbt manifests / _METADATA / item subdirs; SavedModels carry
+    saved_model.pb. Files classify by suffix."""
+    s = str(w).lower()
+    if s.endswith(".torchscript"):
+        return "torchscript"
+    if s.endswith(".pt"):
+        return "torchpt"
+    if s.endswith(".tflite"):
+        return "tflite"
+    if w.is_dir():
+        if (w / "saved_model.pb").exists():
+            return "savedmodel"
+        return "orbax"  # orbax layouts vary by version; any other dir is native
+    raise ValueError(f"unsupported weights {w}")
+
+
 class MultiBackend:
-    def __init__(self, weights, cfg=None, nc: int = 80, imgsz: int = 640):
+    def __init__(self, weights, cfg=None, nc: int = 80, imgsz: int = 640,
+                 fuse: bool = True):
         w = Path(str(weights))
-        self.kind = None
+        self.kind = detect_kind(w)
         self.imgsz = imgsz
-        if w.is_dir() and (w / "_METADATA").exists() or (w / "manifest.ocdbt").exists() \
-                or (w.is_dir() and any(w.glob("*.orbax*"))) or (w.is_dir() and (w / "d").exists()):
-            self.kind = "orbax"
-        if str(w).endswith(".pt"):
-            self.kind = "torchpt"
-        elif w.is_dir() and (w / "saved_model.pb").exists():
-            self.kind = "savedmodel"
-        elif self.kind is None and w.is_dir():
-            self.kind = "orbax"
 
         if self.kind in ("orbax", "torchpt"):
             from yolo_dual_tpu.models.model import SegmentationModel
@@ -55,26 +67,62 @@ class MultiBackend:
                 variables = ckpt.get("variables", variables)
                 if ckpt.get("ema"):
                     variables = ckpt["ema"].get("ema", variables)
+            if fuse:
+                self.model, variables = self.model.fuse(variables)
             self.variables = variables
+            model = self.model
 
             @jax.jit
             def fwd(v, x):
-                out = self.model.module.apply(v, x, train=False)
+                out = model.module.apply(v, x, train=False)
                 return out[0], out[1] if isinstance(out, tuple) and len(out) > 1 else None
             self._fwd = fwd
+        elif self.kind == "torchscript":
+            import torch
+            self.ts_model = torch.jit.load(str(w), map_location="cpu").eval()
         elif self.kind == "savedmodel":
             import tensorflow as tf
             self.tf_model = tf.saved_model.load(str(w))
-            self._fwd = None
-        else:
-            raise ValueError(f"unsupported weights {weights}")
+        elif self.kind == "tflite":
+            import tensorflow as tf
+            self.interpreter = tf.lite.Interpreter(model_path=str(w))
+            self.interpreter.allocate_tensors()
+            self._tfl_in = self.interpreter.get_input_details()
+            self._tfl_out = self.interpreter.get_output_details()
         LOGGER.info(f"MultiBackend: loaded {weights} as {self.kind}")
 
     def forward(self, x):
+        x = np.asarray(x, np.float32)
         if self.kind == "savedmodel":
             import tensorflow as tf
-            out = self.tf_model.f(tf.constant(np.asarray(x, np.float32)))
+            out = self.tf_model.f(tf.constant(x))
             return np.asarray(out["pred"]), np.asarray(out["protos"])
+        if self.kind == "tflite":
+            interp = self.interpreter
+            if tuple(self._tfl_in[0]["shape"]) != x.shape:
+                interp.resize_tensor_input(self._tfl_in[0]["index"], x.shape)
+                interp.allocate_tensors()
+            interp.set_tensor(self._tfl_in[0]["index"], x)
+            interp.invoke()
+            outs = [interp.get_tensor(d["index"]) for d in self._tfl_out]
+            # export.py emits (pred, protos) in declaration order; larger
+            # trailing dim identifies pred rows (5+nc+nm)
+            outs.sort(key=lambda o: o.ndim)
+            if len(outs) >= 2:
+                return outs[-1], outs[0]
+            return outs[0], None
+        if self.kind == "torchscript":
+            import torch
+            with torch.no_grad():
+                out = self.ts_model(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+            if isinstance(out, (list, tuple)):
+                pred = out[0]
+                protos = out[1] if len(out) > 1 else None
+                if isinstance(protos, (list, tuple)):  # torch (pred, (…, protos)) nests
+                    protos = protos[-1]
+                return (np.asarray(pred),
+                        None if protos is None else np.asarray(protos))
+            return np.asarray(out), None
         pred, protos = self._fwd(self.variables, jnp.asarray(x))
         return pred, protos
 

@@ -41,15 +41,16 @@ class GraphModel(nn.Module):
 
     spec: ModelSpec
     dtype: Dtype = None
+    fused: bool = False  # conv+BN folded variables (see BaseModel.fuse)
 
     @nn.compact
     def __call__(self, x, train: bool = False, decode: Optional[bool] = None):
-        from yolo_dual_tpu.nn.common import bn_config
+        from yolo_dual_tpu.nn.common import bn_config, fused_inference
         if self.spec.style == "semantic":
             ctx = bn_config(1e-5, 0.9)    # torch BatchNorm2d defaults
         else:
             ctx = bn_config(1e-3, 0.97)   # reference initialize_weights profile
-        with ctx:
+        with ctx, fused_inference(self.fused):
             return self._walk(x, train, decode)
 
     def _walk(self, x, train: bool, decode: Optional[bool]):
@@ -166,6 +167,21 @@ class BaseModel:
         return self.module.apply(variables, x, train=train, decode=decode,
                                  mutable=mutable, rngs=rngs)
 
+    def fuse(self, variables):
+        """Return (fused_model, fused_variables) with every Conv's BatchNorm
+        folded into its kernel/bias — the reference's ``model.fuse()``
+        (models/yolo.py fuse, utils/torch_utils.py fuse_conv_and_bn), done
+        functionally. The fused model's forward is numerically ≡ the unfused
+        inference forward (BN affine is linear) but compiles without the BN
+        f32 affine chain. Inference-only: the fused variables carry no
+        BN params to train."""
+        import copy as _copy
+        eps = 1e-5 if self.spec.style == "semantic" else 1e-3
+        fused_vars = fuse_conv_bn(variables, eps)
+        m = _copy.copy(self)
+        m.module = GraphModel(self.spec, self.dtype, fused=True)
+        return m, fused_vars
+
     def info(self, variables=None):
         n_layers = len(self.spec.layers)
         n_params = 0
@@ -173,6 +189,64 @@ class BaseModel:
             n_params = sum(int(np.prod(np.shape(p))) for p in jax.tree_util.tree_leaves(variables.get("params", {})))
         LOGGER.info(f"{type(self).__name__}: {n_layers} layers, {n_params:,} parameters, strides {list(self.stride)}")
         return n_layers, n_params
+
+
+def fuse_conv_bn(variables, eps: float):
+    """Fold Conv-attached BatchNorms into the conv kernel + a new bias
+    (reference utils/torch_utils.py fuse_conv_and_bn / models/yolo.py fuse()).
+
+    Walks the params tree; wherever a subtree holds sibling ``conv`` (with an
+    HWIO ``kernel``) and ``bn`` (scale/bias) entries — the `Conv` module layout
+    — it computes ``w' = w * gamma/sqrt(var+eps)``, ``b' = beta - mean * gamma/
+    sqrt(var+eps)`` from the matching ``batch_stats`` entry, writes the folded
+    kernel+bias, and deletes the BN from both collections. BNs not attached to
+    a Conv (BottleneckCSP's shared post-concat BN, standalone nn.BatchNorm2d
+    rows) are left in place and still run from frozen stats.
+
+    Returns a new variables dict (the input is not mutated)."""
+    import copy
+    variables = copy.deepcopy(_to_mutable(variables))
+    params = variables.get("params", {})
+    stats = variables.get("batch_stats", {})
+
+    def walk(p, s):
+        if not isinstance(p, dict):
+            return
+        if ("conv" in p and isinstance(p["conv"], dict) and "kernel" in p["conv"]
+                and "bn" in p and isinstance(p.get("bn"), dict) and "scale" in p["bn"]
+                and isinstance(s, dict) and "bn" in s):
+            gamma = np.asarray(p["bn"]["scale"], np.float32)
+            beta = np.asarray(p["bn"]["bias"], np.float32)
+            mean = np.asarray(s["bn"]["mean"], np.float32)
+            var = np.asarray(s["bn"]["var"], np.float32)
+            scale = gamma / np.sqrt(var + eps)
+            kernel = np.asarray(p["conv"]["kernel"], np.float32) * scale  # HWIO: out = last
+            bias = beta - mean * scale
+            if "bias" in p["conv"]:
+                bias = bias + np.asarray(p["conv"]["bias"], np.float32) * scale
+            p["conv"]["kernel"] = jnp.asarray(kernel)
+            p["conv"]["bias"] = jnp.asarray(bias)
+            del p["bn"]
+            del s["bn"]
+        for k in list(p.keys()):
+            walk(p[k], s.get(k, {}) if isinstance(s, dict) else {})
+
+    walk(params, stats)
+
+    def prune_empty(t):
+        if not isinstance(t, dict):
+            return t
+        return {k: prune_empty(v) for k, v in t.items()
+                if not (isinstance(v, dict) and not prune_empty(v))}
+
+    stats = prune_empty(stats)
+    out = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    for k, v in variables.items():
+        if k not in ("params", "batch_stats"):
+            out[k] = v
+    return out
 
 
 def _to_mutable(tree):

@@ -12,8 +12,11 @@ Conv/C3/SPPF family, :838-864 Proto/Classify, plus the per-script C2f
 - BatchNorm runs in float32 with running stats in a `batch_stats` collection;
   under pjit with a sharded batch the statistics are global-batch (SyncBN
   semantics) by construction.
-- No "fused inference" variant is needed: XLA folds BN affine transforms into
-  the conv at compile time when running with frozen stats.
+- Inference supports explicit conv+BN weight folding (the reference's
+  `model.fuse()`, utils/torch_utils.py fuse_conv_and_bn): under the
+  `fused_inference` context every Conv skips its BN and reads a folded bias
+  instead, so the affine + f32 cast chain disappears from the compiled graph
+  entirely (see models/model.py `BaseModel.fuse`).
 
 All modules accept `train: bool` in `__call__` (controls BN stat updates) and a
 `dtype` attribute for bf16 compute with f32 params.
@@ -56,6 +59,22 @@ def bn_config(eps: float, momentum: float):
 def batch_norm(train: bool, name: str = "bn"):
     return nn.BatchNorm(use_running_average=not train, momentum=_BN_CTX["momentum"],
                         epsilon=_BN_CTX["eps"], dtype=jnp.float32, name=name)
+
+
+# Inference-time conv+BN folding (the reference's model.fuse()). When the flag
+# is on, `Conv` builds its nn.Conv with a bias and skips the BatchNorm module —
+# the caller must supply variables transformed by models.model.fuse_conv_bn.
+_FUSE_CTX = {"on": False}
+
+
+@contextlib.contextmanager
+def fused_inference(on: bool = True):
+    old = _FUSE_CTX["on"]
+    _FUSE_CTX["on"] = on
+    try:
+        yield
+    finally:
+        _FUSE_CTX["on"] = old
 
 
 def autopad(k, p=None, d: int = 1):
@@ -120,6 +139,7 @@ class Conv(nn.Module):
         s = _pair(self.s)
         p = autopad(self.k, self.p, self.d)
         p = _pair(p)
+        fused = _FUSE_CTX["on"] and self.bn
         x = nn.Conv(
             features=self.c2,
             kernel_size=k,
@@ -127,11 +147,11 @@ class Conv(nn.Module):
             padding=(p if isinstance(p[0], tuple) else ((p[0], p[0]), (p[1], p[1]))),
             feature_group_count=self.g,
             kernel_dilation=(self.d, self.d),
-            use_bias=self.bias,
+            use_bias=self.bias or fused,
             dtype=self.dtype,
             name="conv",
         )(x)
-        if self.bn:
+        if self.bn and not fused:
             x = batch_norm(train)(x).astype(x.dtype)
         return resolve_act(self.act)(x)
 

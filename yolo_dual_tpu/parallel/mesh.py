@@ -43,18 +43,68 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
+def make_mesh_2d(dp: int, sp: int, axes=("data", "space")) -> Mesh:
+    """2-D mesh: data-parallel × spatial-parallel. The 'space' axis shards
+    activations along image height — XLA's SPMD partitioner inserts the conv
+    halo exchanges automatically, so large-resolution models can split one
+    image's FLOPs+HBM across chips (the sequence-parallel analog for dense
+    vision; scaling-book §spatial partitioning). Device order keeps the
+    'space' axis innermost so halo traffic rides adjacent ICI links."""
+    need = dp * sp
+    devs = jax.devices()
+    if len(devs) < need:
+        try:
+            cpu = jax.devices("cpu")
+            if len(cpu) >= need:
+                devs = cpu
+        except RuntimeError:
+            pass
+    assert len(devs) >= need, f"need {need} devices, have {len(devs)}"
+    return Mesh(np.asarray(devs[:need]).reshape(dp, sp), axes)
+
+
+def batch_spec(mesh: Mesh, leaf_ndim: int, spatial_dims=(1,)) -> P:
+    """PartitionSpec for a batch leaf: leading dim on 'data'; if the mesh has
+    a 'space' axis, the first spatial dim (H for NHWC images / mask planes)
+    shards over it."""
+    if leaf_ndim < 1:
+        return P()
+    spec = [None] * leaf_ndim
+    spec[0] = "data"
+    if "space" in mesh.axis_names and leaf_ndim >= 3:
+        for d in spatial_dims:
+            if d < leaf_ndim:
+                spec[d] = "space"
+                break
+    return P(*spec)
+
+
 def replicate(tree, mesh: Mesh):
     """Place every leaf replicated across the mesh."""
     sh = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
+_SPATIAL_KEYS = ("image", "images", "mask", "masks")  # leaves whose dim 1 is H
+
+
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """Shard each leaf's leading (batch) dimension over the data axis."""
-    def put(x):
-        spec = P(axis) if np.ndim(x) >= 1 else P()
+    """Shard each leaf's leading (batch) dimension over the data axis; on a
+    2-D mesh, image/mask planes (dim 1 = H) also shard over 'space'.
+    Target tables etc. stay data-sharded only — their dim 1 is an instance
+    index, not a spatial extent."""
+    spatial = "space" in mesh.axis_names
+
+    def put(key, x):
+        if spatial and key in _SPATIAL_KEYS and np.ndim(x) >= 3:
+            spec = batch_spec(mesh, np.ndim(x))
+        else:
+            spec = P(axis) if np.ndim(x) >= 1 else P()
         return jax.device_put(x, NamedSharding(mesh, spec))
-    return jax.tree_util.tree_map(put, batch)
+
+    if isinstance(batch, dict):
+        return {k: put(k, v) for k, v in batch.items()}
+    return jax.tree_util.tree_map(lambda x: put("", x), batch)
 
 
 def cross_replica_mean(tree, axis: str = "data"):

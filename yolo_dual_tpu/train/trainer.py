@@ -155,12 +155,23 @@ class Trainer:
 
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
+            from yolo_dual_tpu.parallel.mesh import _SPATIAL_KEYS, batch_spec
             data = NamedSharding(self.mesh, P("data"))
+            spatial = "space" in self.mesh.axis_names
+
+            def constrain(key, x):
+                if jnp.ndim(x) < 1:
+                    return x
+                if spatial and key in _SPATIAL_KEYS and jnp.ndim(x) >= 3:
+                    # image/mask H sharded over 'space' (spatial partitioning;
+                    # XLA emits the conv halo exchanges)
+                    sh = NamedSharding(self.mesh, batch_spec(self.mesh, jnp.ndim(x)))
+                else:
+                    sh = data
+                return jax.lax.with_sharding_constraint(x, sh)
 
             def sharded_step(state, batch):
-                batch = jax.tree_util.tree_map(
-                    lambda x: jax.lax.with_sharding_constraint(x, data)
-                    if jnp.ndim(x) >= 1 else x, batch)
+                batch = {k: constrain(k, v) for k, v in batch.items()}
                 return step(state, batch)
             return jax.jit(sharded_step, donate_argnums=(0,) if donate else ())
         return jax.jit(step, donate_argnums=(0,) if donate else ())
