@@ -29,7 +29,7 @@ def run(weights="", cfg="yolov5s-seg.yaml", source="data/images", imgsz=640,
         name="exp", save_txt=False, nosave=False, line_thickness=3,
         hide_labels=False, hide_conf=False, soft_nms=False, nc=80, data=None,
         augment=False, vid_stride=1, max_frames=None, view_img=False,
-        fuse=True, **kw):
+        fuse=True, save_crop=False, **kw):
     imgsz = check_img_size(imgsz, 32)
     if data:
         from yolo_dual_tpu.utils.general import check_dataset
@@ -47,7 +47,8 @@ def run(weights="", cfg="yolov5s-seg.yaml", source="data/images", imgsz=640,
         save_dir=str(Path(project) / name), save_txt=save_txt, save_img=not nosave,
         names=names, line_thickness=line_thickness, hide_labels=hide_labels,
         hide_conf=hide_conf, use_soft_nms=soft_nms, augment=augment,
-        vid_stride=vid_stride, max_frames=max_frames, view_img=view_img, fuse=fuse)
+        vid_stride=vid_stride, max_frames=max_frames, view_img=view_img, fuse=fuse,
+        save_crop=save_crop)
 
 
 def parse_opt(argv=None):
@@ -77,6 +78,8 @@ def parse_opt(argv=None):
     p.add_argument("--view-img", action="store_true", help="show annotated frames live")
     p.add_argument("--no-fuse", dest="fuse", action="store_false",
                    help="disable conv+BN inference folding")
+    p.add_argument("--save-crop", action="store_true",
+                   help="save per-detection crops under crops/<class>/")
     p.add_argument("--nc", type=int, default=80)
     p.add_argument("--device", default="", help="parity flag")
     return p.parse_args(argv)

@@ -126,12 +126,21 @@ def train(opt):
     if resume_ckpt is not None:
         # smart_resume equivalent (reference utils/torch_utils.py:361-378):
         # restore params/BN stats/EMA/optimizer state/epoch/best fitness
-        ckpt = load_checkpoint(resume_ckpt)
+        template = {"variables": {"params": state.params, "batch_stats": state.batch_stats},
+                    "ema": state.ema, "epoch": 0, "best_fitness": 0.0,
+                    "opt_state": state.opt_state}
+        try:
+            # typed restore: optax/EMA containers keep their classes
+            ckpt = load_checkpoint(resume_ckpt, target=template)
+        except Exception:
+            # stripped/partial checkpoint (e.g. --nosave-optimizer) — fall back
+            ckpt = load_checkpoint(resume_ckpt)
         state = state.replace(
             params=ckpt["variables"]["params"],
             batch_stats=ckpt["variables"].get("batch_stats", state.batch_stats),
             ema=ckpt.get("ema") or state.ema,
-            opt_state=ckpt.get("opt_state") or state.opt_state)
+            opt_state=(ckpt.get("opt_state") if ckpt.get("opt_state") is not None
+                       else state.opt_state))
         start_epoch = int(ckpt.get("epoch", -1)) + 1
         best_fitness = float(ckpt.get("best_fitness", 0.0))
         LOGGER.info(f"resumed from epoch {start_epoch} (best fitness {best_fitness:.4f})")

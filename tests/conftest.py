@@ -12,6 +12,15 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = _flags + " --xla_force_host_platform_device_count=8"
 
+import jax  # noqa: E402
+
+# The env var alone is NOT enough on boxes whose sitecustomize force-registers
+# an accelerator plugin and sets jax_platforms itself — config.update after
+# import wins (before any backend is initialized). Without this, the whole
+# suite silently dispatches tiny test ops through the accelerator (here: a
+# high-latency tunnel), and concurrent test processes crash each other.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

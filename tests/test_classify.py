@@ -14,6 +14,18 @@ cv2 = pytest.importorskip("cv2")
 ROOT = Path(__file__).parents[1]
 sys.path.insert(0, str(ROOT / "classify"))
 
+def _load_script(path, name):
+    """Load a CLI script under a unique module name — segment/ and classify/
+    both ship train.py/val.py, so a bare `import train` is order-dependent
+    across the test session."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(name, str(path))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
 COLORS = {"red": (220, 30, 30), "green": (30, 220, 30), "blue": (30, 30, 220)}
 
 
@@ -72,7 +84,7 @@ def test_classification_dataset_and_disk_cache(tmp_path, rng):
 def test_classify_train_reaches_90pct_on_miniset(tmp_path):
     """classify/train.py end-to-end (aug pipeline on) must separate a trivial
     color dataset to >90% top-1 (VERDICT r1 next-#8 done criterion)."""
-    import train as classify_train  # classify/train.py
+    classify_train = _load_script(ROOT / "classify/train.py", "classify_train_mod")
     _make_imageset(tmp_path, n_per_class=24)
     # tiny stand-in backbone so the 1-CPU box compiles fast
     cfg = dict(nc=3, depth_multiple=1.0, width_multiple=1.0,
@@ -95,7 +107,7 @@ def test_build_classifier_torchvision_arch():
     (reference classify/train.py torchvision-model option)."""
     import jax
     import jax.numpy as jnp
-    import train as classify_train
+    classify_train = _load_script(ROOT / "classify/train.py", "classify_train_mod")
     m = classify_train.build_classifier("resnet18", nc=5)
     v = m.module.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
     out = m.module.apply(v, jnp.zeros((2, 64, 64, 3)), train=False)

@@ -190,3 +190,38 @@ def test_image_cache_ram_and_disk(yolo_ds_dir):
     for f in ds_disk.npy_files:
         if f.exists():
             f.unlink()
+
+
+def test_cutout_erases_and_drops_covered_labels():
+    """cutout paints occlusion patches and drops labels covered >60%
+    (reference utils/augmentations.py:262-286)."""
+    import random as _random
+    from yolo_dual_tpu.data.augment import cutout
+
+    rng = _random.Random(0)
+    img = np.full((64, 64, 3), 255, np.uint8)
+    # one big box (will likely survive), one tiny box (easily covered)
+    labels = np.array([[0, 0.5, 0.5, 0.9, 0.9],
+                       [1, 0.1, 0.1, 0.05, 0.05]], np.float32)
+    out, new_labels = cutout(img.copy(), labels.copy(), p=1.0, rng=rng)
+    assert (out != 255).any()                       # something was painted
+    assert len(new_labels) <= len(labels)
+    # p=0 is a strict no-op
+    img2 = np.full((32, 32, 3), 7, np.uint8)
+    out2, l2 = cutout(img2.copy(), labels.copy(), p=0.0, rng=rng)
+    np.testing.assert_array_equal(out2, img2)
+    assert len(l2) == 2
+
+
+def test_albumentations_adapter_noop_without_package():
+    """The adapter degrades to identity when albumentations is missing, and
+    keeps label schema when present."""
+    import random as _random
+    from yolo_dual_tpu.data.augment import Albumentations
+
+    t = Albumentations(size=64)
+    img = np.random.default_rng(0).integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    labels = np.array([[0, 0.5, 0.5, 0.4, 0.4]], np.float32)
+    out, l = t(img, labels, p=1.0, rng=_random.Random(0))
+    assert out.shape == img.shape
+    assert l.shape[1] == 5

@@ -91,3 +91,20 @@ def test_iter_source_stream_detection():
     assert not is_stream_source("data/images")
     assert is_screenshot_source("screen 0 0 0 640 480")
     assert not is_screenshot_source("screenshots/")
+
+
+def test_save_one_box_crops_and_increments(tmp_path):
+    """save_one_box crops with gain/pad and increments existing filenames
+    (reference utils/plots.py:560)."""
+    import numpy as np
+    from yolo_dual_tpu.utils.plots import save_one_box
+
+    im = np.random.default_rng(0).integers(0, 255, (80, 90, 3), dtype=np.uint8)
+    f = tmp_path / "crops" / "person" / "img.jpg"
+    c1 = save_one_box([20, 20, 40, 50], im, file=f)
+    assert c1.shape[0] > 30 and c1.shape[1] > 20          # gain+pad expanded
+    assert f.exists()
+    save_one_box([20, 20, 40, 50], im, file=f)            # second call increments
+    assert (tmp_path / "crops" / "person" / "img2.jpg").exists()
+    sq = save_one_box([20, 20, 40, 50], im, square=True, save=False)
+    assert sq.shape[0] == sq.shape[1]

@@ -13,6 +13,18 @@ cv2 = pytest.importorskip("cv2")
 ROOT = Path(__file__).parents[1]
 sys.path.insert(0, str(ROOT / "segment"))
 
+def _load_script(path, name):
+    """Load a CLI script under a unique module name — segment/ and classify/
+    both ship train.py/val.py, so a bare `import train` is order-dependent
+    across the test session."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(name, str(path))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
 ANCHORS = [[10, 13, 16, 30, 33, 23], [30, 61, 62, 45, 59, 119],
            [116, 90, 156, 198, 373, 326]]
 
@@ -60,7 +72,7 @@ def _mini_dataset(root: Path, n: int = 6):
 
 
 def test_train_then_bare_resume(tmp_path):
-    import train as seg_train  # segment/train.py
+    seg_train = _load_script(ROOT / "segment/train.py", "seg_train_mod")
     cfg = _mini_cfg(tmp_path / "mini-seg.yaml")
     data_yaml = _mini_dataset(tmp_path / "ds")
     hyp = ROOT / "yolo_dual_tpu" / "configs" / "hyps" / "hyp.scratch-low.yaml"

@@ -179,6 +179,85 @@ def mixup(im, labels, segments, im2, labels2, segments2, rng=None):
     return im, labels, segments
 
 
+def _bbox_ioa_np(box: np.ndarray, boxes: np.ndarray, eps: float = 1e-7) -> np.ndarray:
+    """Intersection over box2 area, numpy host-side (reference utils/metrics.py
+    bbox_ioa). box: (4,) xyxy; boxes: (n,4) xyxy."""
+    ix = (np.minimum(box[2], boxes[:, 2]) - np.maximum(box[0], boxes[:, 0])).clip(0)
+    iy = (np.minimum(box[3], boxes[:, 3]) - np.maximum(box[1], boxes[:, 1])).clip(0)
+    area = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1]) + eps
+    return ix * iy / area
+
+
+def cutout(im: np.ndarray, labels: np.ndarray, p: float = 0.5, rng=None):
+    """Random-erase occlusion patches; labels covered >60% are dropped
+    (reference utils/augmentations.py:262-286 — defined there but commented
+    out of the loader; here it is exposed behind hyp['cutout'], default 0)."""
+    rng = rng or random
+    if rng.random() < p:
+        h, w = im.shape[:2]
+        scales = [0.5] * 1 + [0.25] * 2 + [0.125] * 4 + [0.0625] * 8 + [0.03125] * 16
+        for s in scales:
+            mask_h = rng.randint(1, max(1, int(h * s)))
+            mask_w = rng.randint(1, max(1, int(w * s)))
+            xmin = max(0, rng.randint(0, w) - mask_w // 2)
+            ymin = max(0, rng.randint(0, h) - mask_h // 2)
+            xmax = min(w, xmin + mask_w)
+            ymax = min(h, ymin + mask_h)
+            im[ymin:ymax, xmin:xmax] = [rng.randint(64, 191) for _ in range(3)]
+            if len(labels) and s > 0.03:
+                box = np.array([xmin, ymin, xmax, ymax], np.float32)
+                from yolo_dual_tpu.ops.boxes import xywhn2xyxy
+                xyxy = np.asarray(xywhn2xyxy(labels[:, 1:5].astype(np.float32), w, h))
+                labels = labels[_bbox_ioa_np(box, xyxy) < 0.60]
+    return im, labels
+
+
+class Albumentations:
+    """Optional albumentations pixel-transform adapter (reference
+    utils/augmentations.py:22-53). Composes only photometric transforms
+    (Blur/MedianBlur/ToGray/CLAHE + disabled-by-default contrast/gamma/
+    compression) with YOLO bbox passthrough, so polygons/masks stay valid.
+    No-op when the package is absent."""
+
+    def __init__(self, size: int = 640):
+        self.transform = None
+        try:
+            import albumentations as A
+            T = [
+                A.Blur(p=0.01),
+                A.MedianBlur(p=0.01),
+                A.ToGray(p=0.01),
+                A.CLAHE(p=0.01),
+                A.RandomBrightnessContrast(p=0.0),
+                A.RandomGamma(p=0.0),
+                A.ImageCompression(quality_lower=75, p=0.0),
+            ]
+            self.transform = A.Compose(
+                T, bbox_params=A.BboxParams(format="yolo", label_fields=["class_labels"]))
+            from yolo_dual_tpu.utils.general import LOGGER
+            LOGGER.info("albumentations: " + ", ".join(
+                type(t).__name__ for t in T if t.p))
+        except ImportError:
+            pass
+        except Exception as e:  # pragma: no cover - version drift
+            from yolo_dual_tpu.utils.general import LOGGER
+            LOGGER.warning(f"albumentations: disabled ({e})")
+            self.transform = None
+
+    def __call__(self, im, labels, p: float = 1.0, rng=None):
+        rng = rng or random
+        if self.transform and rng.random() < p:
+            new = self.transform(image=im, bboxes=labels[:, 1:5],
+                                 class_labels=labels[:, 0])
+            im = new["image"]
+            if len(new["bboxes"]):
+                labels = np.array([[c, *b] for c, b in
+                                   zip(new["class_labels"], new["bboxes"])], np.float32)
+            else:
+                labels = np.zeros((0, 5), np.float32)
+        return im, labels
+
+
 def polygon2mask(img_size: Tuple[int, int], polygons, color: int = 1,
                  downsample_ratio: int = 1) -> np.ndarray:
     """Rasterize one polygon (reference utils/segment/dataloaders.py:274-289)."""

@@ -28,9 +28,11 @@ import cv2
 import numpy as np
 
 from yolo_dual_tpu.data.augment import (
+    Albumentations,
     augment_hsv,
     box_candidates,
     copy_paste,
+    cutout,
     letterbox,
     mixup,
     polygons2masks,
@@ -131,6 +133,7 @@ class YoloDataset:
         self.mosaic = self.augment and self.hyp.get("mosaic", 0) > 0
         self.mosaic_border = [-imgsz // 2, -imgsz // 2]
         self.rng = random.Random(0)
+        self.albumentations = Albumentations(size=imgsz) if augment else None
         self.cache_ram = cache_images is True or cache_images == "ram"
         self.cache_disk = cache_images == "disk"
         self.stride = stride
@@ -355,6 +358,16 @@ class YoloDataset:
             labels[:, 1:5] = np.asarray(xyxy2xywhn(labels[:, 1:5], w=w, h=h, clip=True, eps=1e-3))
 
         if self.augment:
+            if nl and self.task != "segment":
+                # photometric albumentations adapter + cutout occlusion erase;
+                # detect-only (both may drop/reorder labels, which would break
+                # the label↔mask pairing) — reference utils/dataloaders.py:701
+                # and utils/augmentations.py:262-286
+                img = np.ascontiguousarray(img)
+                img, labels = self.albumentations(img, labels, rng=self.rng)
+                if hyp.get("cutout", 0.0):
+                    img, labels = cutout(img, labels, p=hyp["cutout"], rng=self.rng)
+                nl = len(labels)
             img = augment_hsv(img, hyp.get("hsv_h", 0), hyp.get("hsv_s", 0),
                               hyp.get("hsv_v", 0), rng=self.rng)
             if self.rng.random() < hyp.get("flipud", 0.0):

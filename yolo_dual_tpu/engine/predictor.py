@@ -97,7 +97,8 @@ def predict_images(model, variables, source, imgsz: int = 640, conf_thres: float
                    hide_labels: bool = False, hide_conf: bool = False,
                    use_soft_nms: bool = False, augment: bool = False,
                    vid_stride: int = 1, max_frames: Optional[int] = None,
-                   view_img: bool = False, fuse: bool = True):
+                   view_img: bool = False, fuse: bool = True,
+                   save_crop: bool = False):
     """Run streaming prediction. Returns list of per-image detection arrays."""
     import cv2
     save_dir = increment_path(Path(save_dir), mkdir=True)
@@ -163,6 +164,14 @@ def predict_images(model, variables, source, imgsz: int = 640, conf_thres: float
                     label = None if hide_labels else (
                         names[int(cls)] if hide_conf else f"{names[int(cls)]} {conf:.2f}")
                     annotator.box_label(box, label or "", color=colors(int(cls)))
+                if save_crop:
+                    # per-class crop dump (reference predict.py --save-crop →
+                    # utils/plots.py save_one_box)
+                    from yolo_dual_tpu.utils.plots import save_one_box
+                    for box, cls in zip(boxes_native, dets[:, 5]):
+                        save_one_box(box, im0[..., ::-1],
+                                     file=Path(save_dir) / "crops" / names[int(cls)]
+                                     / f"{Path(path).stem}.jpg", BGR=False)
                 if save_txt:
                     txt = Path(save_dir) / "labels" / (Path(path).stem + ".txt")
                     txt.parent.mkdir(parents=True, exist_ok=True)

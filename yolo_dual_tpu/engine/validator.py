@@ -19,7 +19,7 @@ import numpy as np
 from yolo_dual_tpu.data.loader import normalize_image
 from yolo_dual_tpu.metrics import SegmentationConfusionMatrix, ap_per_class_box_and_mask, Metrics
 from yolo_dual_tpu.metrics.seg import match_predictions_device
-from yolo_dual_tpu.ops import box_iou, mask_iou, process_mask, xywh2xyxy
+from yolo_dual_tpu.ops import box_iou, clip_boxes, mask_iou, process_mask, xywh2xyxy
 from yolo_dual_tpu.ops.nms import nms_batched, nms_from_raw
 from yolo_dual_tpu.utils.general import LOGGER, Profile, colorstr
 
@@ -78,7 +78,11 @@ def evaluate_segment(model, variables, loader, nc: int, conf_thres: float = 0.00
             gt_cls = tgt[:, 0]
             det_valid = jnp.arange(D) < nv
             pair_ok = tm[:, None] & det_valid[None, :]
-            iou_b = jnp.where(pair_ok, jnp.asarray(box_iou(gt_boxes, dets[:, :4])), 0.0)
+            # the reference matches CLIPPED boxes: scale_boxes → clip_boxes
+            # runs on predn before process_batch (segment/val.py:300); raw
+            # decoded boxes can exceed the image and would under-match
+            det_boxes = jnp.asarray(clip_boxes(dets[:, :4], (h, w)))
+            iou_b = jnp.where(pair_ok, jnp.asarray(box_iou(gt_boxes, det_boxes)), 0.0)
             correct_b = match_predictions_device(dets[:, 5], gt_cls, iou_b)
             pm = process_mask(protos_i, dets[:, 6:6 + nm], dets[:, :4], (h, w),
                               upsample=False, binarize=False)

@@ -132,7 +132,10 @@ def nms_batched(prediction: jnp.ndarray, conf_thres: float = 0.25,
         obj = x[:, 4]
         box = xywh2xyxy(x[:, :4])
         cls_conf = x[:, 5:5 + nc] * obj[:, None]  # conf = obj * cls
-        mask = x[:, 5 + nc:]
+        # the reference scales EVERYTHING after col 5 by obj_conf — including
+        # the mask coefficients (utils/general.py:949 `x[:, 5:] *= x[:, 4:5]`);
+        # process_mask then sees obj-scaled coefs, so replicate exactly
+        mask = x[:, 5 + nc:] * obj[:, None]
         if classes_mask is not None:
             cls_conf = jnp.where(classes_mask[None, :], cls_conf, 0.0)
         k = min(pre_nms_topk, x.shape[0] * (nc if multi_label else 1))
@@ -256,7 +259,9 @@ def nms_from_raw(raw, anchors, strides, conf_thres: float = 0.25,
     wh = (jax.nn.sigmoid(rows[..., 2:4]) * 2) ** 2 * a
     box = jnp.asarray(xywh2xyxy(jnp.concatenate([xy, wh], -1).reshape(-1, 4))
                       ).reshape(bs, k, 4)
-    mask = rows[..., 5 + nc:]
+    # obj-scaled mask coefs, matching the reference NMS (utils/general.py:949)
+    obj_sel = jnp.take_along_axis(obj, cand_idx, axis=1)
+    mask = rows[..., 5 + nc:] * obj_sel[..., None]
 
     def one(box_i, scores_i, cj_i, mask_i):
         offset = jnp.where(agnostic, 0.0, cj_i * MAX_WH)

@@ -33,7 +33,13 @@ def save_checkpoint(path, state_dict: dict):
     return path
 
 
-def load_checkpoint(path):
+def load_checkpoint(path, target=None):
+    """Restore a checkpoint. With `target` (a template pytree of the same
+    structure), orbax restores into the template's CONTAINER types — without
+    it, optax states (MultiStepsState etc.) come back as plain dicts and
+    `tx.update` crashes on attribute access after a resume."""
+    if target is not None:
+        return _checkpointer().restore(Path(path).resolve(), item=target)
     return _checkpointer().restore(Path(path).resolve())
 
 

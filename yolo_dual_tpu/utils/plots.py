@@ -223,3 +223,30 @@ def feature_visualization(x, module_type, stage, n=32, save_dir=Path("runs/featu
     f = save_dir / f"stage{stage}_{module_type.split('.')[-1]}.png"
     fig.savefig(f, dpi=150)
     plt.close(fig)
+
+
+def save_one_box(xyxy, im, file=Path("im.jpg"), gain: float = 1.02, pad: int = 10,
+                 square: bool = False, BGR: bool = False, save: bool = True):
+    """Crop a (gain-scaled, padded) box from an HWC image and optionally save
+    it with an incremented filename (reference utils/plots.py:560 save_one_box,
+    used by --save-crop and AutoShape .crop())."""
+    import cv2
+
+    b = np.asarray(xyxy, np.float32).reshape(4)
+    cx, cy = (b[0] + b[2]) / 2, (b[1] + b[3]) / 2
+    w, h = b[2] - b[0], b[3] - b[1]
+    if square:
+        w = h = max(w, h)
+    w, h = w * gain + pad, h * gain + pad
+    x1 = int(np.clip(cx - w / 2, 0, im.shape[1]))
+    x2 = int(np.clip(cx + w / 2, 0, im.shape[1]))
+    y1 = int(np.clip(cy - h / 2, 0, im.shape[0]))
+    y2 = int(np.clip(cy + h / 2, 0, im.shape[0]))
+    crop = im[y1:y2, x1:x2, :: (1 if BGR else -1)]
+    if save and crop.size:
+        file = Path(file)
+        file.parent.mkdir(parents=True, exist_ok=True)
+        from yolo_dual_tpu.utils.general import increment_path
+        f = increment_path(file.with_suffix(".jpg"))
+        cv2.imwrite(str(f), np.ascontiguousarray(crop))
+    return crop
