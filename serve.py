@@ -25,7 +25,9 @@ import numpy as np
 from yolo_dual_tpu.utils.general import LOGGER
 
 
-def main(opt):
+def build_server(opt):
+    """Build the HTTPServer (compiled model resident). Split from main() so
+    tests and the RemoteModel client (io/remote.py) can run it in a thread."""
     import cv2
     import jax
     import jax.numpy as jnp
@@ -94,7 +96,11 @@ def main(opt):
         def log_message(self, fmt, *args):
             LOGGER.info("serve: " + fmt % args)
 
-    HTTPServer(("0.0.0.0", opt.port), Handler).serve_forever()
+    return HTTPServer(("0.0.0.0", opt.port), Handler)
+
+
+def main(opt):
+    build_server(opt).serve_forever()
 
 
 def parse_opt(argv=None):
