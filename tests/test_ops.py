@@ -242,3 +242,46 @@ def test_nms_from_raw_matches_decode_then_nms(rng):
         np.testing.assert_array_equal(np.asarray(nv), np.asarray(ref_nv), err_msg=f"ml={ml}")
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
                                    rtol=1e-5, atol=1e-5, err_msg=f"ml={ml}")
+
+
+def test_cluster_nms_equals_greedy(rng):
+    """Matrix-iteration cluster NMS (nms_padded_cluster) must equal the serial
+    greedy while_loop EXACTLY — keep set, order, and padding — including on
+    duplicate boxes, tied scores, and n < max_det."""
+    import jax
+    import jax.numpy as jnp
+    import yolo_dual_tpu.ops.nms as N
+
+    def greedy(boxes, scores, thr, max_det):
+        def cond(c):
+            s, out, k = c
+            return jnp.logical_and(k < max_det, jnp.max(s) > 0)
+
+        def body(c):
+            s, out, k = c
+            i = jnp.argmax(s)
+            out = out.at[k].set(i.astype(jnp.int32))
+            iou = N._iou_one_vs_many(boxes[i], boxes)
+            kill = (iou > thr).at[i].set(True)
+            return jnp.where(kill, -1.0, s), out, k + 1
+
+        out0 = jnp.full((max_det,), -1, jnp.int32)
+        _, out, _ = jax.lax.while_loop(cond, body, (scores, out0, jnp.int32(0)))
+        return out
+
+    for trial in range(8):
+        n = int(rng.integers(4, 120))
+        xy = rng.uniform(0, 100, (n, 2)).astype(np.float32)
+        wh = rng.uniform(2, 60, (n, 2)).astype(np.float32)
+        boxes = np.concatenate([xy, xy + wh], 1)
+        scores = rng.uniform(0, 1, n).astype(np.float32)
+        scores[rng.choice(n, int(rng.integers(0, n)), replace=False)] = 0.0
+        if n > 10:
+            boxes[1] = boxes[0]
+            scores[1] = scores[0]
+        order = np.argsort(-scores)
+        boxes, scores = boxes[order], scores[order]
+        for thr, md in ((0.3, 7), (0.5, 200)):
+            a = np.asarray(greedy(jnp.asarray(boxes), jnp.asarray(scores), thr, md))
+            b = np.asarray(N.nms_padded_cluster(jnp.asarray(boxes), jnp.asarray(scores), thr, md))
+            np.testing.assert_array_equal(a, b, err_msg=f"trial {trial} thr {thr}")

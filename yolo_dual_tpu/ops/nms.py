@@ -52,8 +52,17 @@ def nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thres: float,
     boxes: (N,4) xyxy (already class-offset for batched NMS); scores: (N,)
     with invalid candidates at -inf/negative. Returns keep indices
     (max_det,) int32, -1 padded, ordered by descending score.
+
+    Dispatch: N ≤ _CLUSTER_NMS_MAX routes to the matrix-iteration cluster NMS
+    below. MEASURED OFF by default: at the serving shape (k=1024, bs=32,
+    yolov5s-seg @640 on v5e) the cluster path reads 1491 img/s end-to-end vs
+    1567 for this serial loop — the N² IoU-matrix construction (6 (N,N)
+    intermediates per vmap lane) costs more HBM traffic than the ~300
+    sequential argmax steps cost in latency. Flip the constant if a future
+    shape profile (small N, huge max_det) favors the matrix form.
     """
-    n = boxes.shape[0]
+    if boxes.shape[0] <= _CLUSTER_NMS_MAX:
+        return nms_padded_cluster(boxes, scores, iou_thres, max_det)
 
     def cond(carry):
         scores_cur, out, k = carry
@@ -72,6 +81,62 @@ def nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thres: float,
     out0 = jnp.full((max_det,), -1, jnp.int32)
     _, out, k = jax.lax.while_loop(cond, body, (scores, out0, jnp.int32(0)))
     return out
+
+
+_CLUSTER_NMS_MAX = 0  # measured slower at production shapes — see nms_padded docstring
+
+
+def nms_padded_cluster(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thres: float,
+                       max_det: int) -> jnp.ndarray:
+    """Exact greedy NMS as a matrix fixpoint (the Cluster-NMS formulation,
+    Zheng et al. 2020: iterating b[j] ← ¬∃i<j (kept[i] ∧ iou[i,j] > thr) over
+    score order converges to the greedy result in at most
+    #suppression-chain-depth iterations).
+
+    TPU rationale: each sweep is one (N,N)·(N,) masked or-reduce — dense
+    vector work XLA pipelines well — versus the serial loop's max_det
+    data-dependent argmax/scatter round trips. Same contract as `nms_padded`.
+
+    Assumes candidates arrive score-sorted descending (both callers pass
+    lax.top_k output); handles arbitrary order via an internal argsort.
+    """
+    n = boxes.shape[0]
+    order = jnp.argsort(-scores)          # stable: ties keep lower index first
+    b_sorted = boxes[order]
+    s_sorted = scores[order]
+    valid = s_sorted > 0
+
+    x1, y1, x2, y2 = (b_sorted[:, i] for i in range(4))
+    ix1 = jnp.maximum(x1[:, None], x1[None, :])
+    iy1 = jnp.maximum(y1[:, None], y1[None, :])
+    ix2 = jnp.minimum(x2[:, None], x2[None, :])
+    iy2 = jnp.minimum(y2[:, None], y2[None, :])
+    inter = jnp.clip(ix2 - ix1, 0) * jnp.clip(iy2 - iy1, 0)
+    area = (x2 - x1) * (y2 - y1)
+    iou = inter / (area[:, None] + area[None, :] - inter + 1e-7)
+    # A[i, j] = True when a KEPT i would suppress j (strictly-greater, like
+    # torchvision); strict upper triangle = only higher-scored boxes suppress
+    upper = jnp.arange(n)[:, None] < jnp.arange(n)[None, :]
+    A = (iou > iou_thres) & upper & valid[:, None]
+
+    def cond(carry):
+        b, prev, it = carry
+        return jnp.logical_and(it < n, jnp.any(b != prev))
+
+    def body(carry):
+        b, prev, it = carry
+        suppressed = jnp.any(A & b[:, None], axis=0)
+        return valid & ~suppressed, b, it + 1
+
+    b, _, _ = jax.lax.while_loop(cond, body, (valid, ~valid, jnp.int32(0)))
+
+    # first max_det kept, in score order, mapped back to caller indices
+    key = jnp.where(b, jnp.arange(n), n)
+    if n < max_det:
+        key = jnp.concatenate([key, jnp.full((max_det - n,), n, key.dtype)])
+    first = jnp.sort(key)[:max_det]
+    safe = jnp.minimum(first, n - 1)
+    return jnp.where(first < n, order[safe].astype(jnp.int32), -1)
 
 
 def soft_nms_padded(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thres: float,
