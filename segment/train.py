@@ -260,6 +260,11 @@ def evolve(opt):
         o.evolve = 0
         fi = train(o)
         print_mutation([], [], hyp, save_dir, float(fi))
+    try:
+        from yolo_dual_tpu.utils.plots import plot_evolve
+        plot_evolve(evolve_csv)
+    except Exception as e:  # plotting must never fail the evolution run
+        LOGGER.warning(f"plot_evolve failed: {e}")
     LOGGER.info(f"evolution complete; log at {evolve_csv}")
 
 

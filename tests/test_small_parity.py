@@ -1,0 +1,103 @@
+"""Behavioral tests for the small reference-parity utilities added in round 2:
+quad collate (reference utils/dataloaders.py collate_fn4), classifier head
+reshaping (reference utils/torch_utils.py reshape_classifier_output), and
+plot_evolve (reference utils/plots.py:476-500)."""
+
+import numpy as np
+
+from yolo_dual_tpu.data.dataset import quad_collate
+from yolo_dual_tpu.data.loader import Loader
+
+
+def _det_sample(i, h=32, w=32, M=4):
+    img = np.full((h, w, 3), i * 10, np.uint8)
+    targets = np.zeros((M, 5), np.float32)
+    tmask = np.zeros((M,), bool)
+    targets[0] = [i % 3, 0.5, 0.5, 0.25, 0.25]
+    tmask[0] = True
+    return {"image": img, "targets": targets, "tmask": tmask,
+            "index": np.int32(i)}
+
+
+def test_quad_collate_mosaic_and_upscale():
+    samples = [_det_sample(i) for i in range(8)]
+    out = quad_collate(samples)
+    assert len(out) == 2
+    # group 0: upscale branch — 2x image, labels carried unchanged
+    up = out[0]
+    assert up["image"].shape == (64, 64, 3)
+    assert up["targets"].shape == (16, 5)
+    np.testing.assert_allclose(up["targets"][0], [0, 0.5, 0.5, 0.25, 0.25])
+    assert up["tmask"][0] and up["tmask"].sum() == 1
+    # group 1: mosaic branch — 4 quadrants with remapped labels
+    mo = out[1]
+    assert mo["image"].shape == (64, 64, 3)
+    assert mo["tmask"].sum() == 4
+    # sample 4 lands in quadrant (0,0): center (0.5+0)/2 = 0.25
+    got = mo["targets"][mo["tmask"]]
+    centers = sorted((round(float(x), 3), round(float(y), 3)) for x, y in got[:, 1:3])
+    assert centers == [(0.25, 0.25), (0.25, 0.75), (0.75, 0.25), (0.75, 0.75)]
+    np.testing.assert_allclose(got[:, 3:5], 0.125)
+    # quadrant pixels come from the right source images
+    assert mo["image"][0, 0, 0] == 40 and mo["image"][0, 63, 0] == 50
+    assert mo["image"][63, 0, 0] == 60 and mo["image"][63, 63, 0] == 70
+
+
+class _ListDataset:
+    def __init__(self, samples):
+        self.samples = samples
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, i):
+        return self.samples[i]
+
+
+def test_loader_quad_collate_batches():
+    ds = _ListDataset([_det_sample(i) for i in range(8)])
+    loader = Loader(ds, batch_size=8, prefetch=0, num_shards=1, shard_index=0,
+                    collate=quad_collate)
+    (batch,) = list(loader)
+    assert batch["image"].shape == (2, 64, 64, 3)
+    assert batch["targets"].shape == (2, 16, 5)
+    assert int(batch["n_valid"]) == 2
+
+
+def test_reshape_classifier_output():
+    import jax.numpy as jnp
+    from yolo_dual_tpu.models.model import (ClassificationModel,
+                                            reshape_classifier_output)
+    cfg = dict(nc=80, depth_multiple=0.33, width_multiple=0.125,
+               backbone=[[-1, 1, "Conv", [64, 6, 2, 2]],
+                         [-1, 1, "Conv", [128, 3, 2]],
+                         [-1, 1, "C3", [128]]],
+               head=[])
+    model = ClassificationModel(cfg, nc=10, cutoff=3)
+    variables = model.init(imgsz=64)
+    new_model, new_vars = reshape_classifier_output(model, variables, nc=4, imgsz=64)
+    assert new_model.nc == 4
+    head = f"model_{len(new_model.spec.layers) - 1}"
+    assert new_vars["params"][head]["linear"]["kernel"].shape[-1] == 4
+    # backbone weights transplanted, not re-initialized
+    np.testing.assert_array_equal(
+        np.asarray(variables["params"]["model_0"]["conv"]["kernel"]),
+        np.asarray(new_vars["params"]["model_0"]["conv"]["kernel"]))
+    out = new_model.module.apply(new_vars, jnp.zeros((1, 64, 64, 3)), train=False)
+    assert out.shape == (1, 4)
+    # same nc is a no-op passthrough
+    m2, v2 = reshape_classifier_output(model, variables, nc=10)
+    assert m2 is model and v2 is variables
+
+
+def test_plot_evolve(tmp_path):
+    import csv
+    from yolo_dual_tpu.utils.plots import plot_evolve
+    p = tmp_path / "evolve.csv"
+    with open(p, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["fitness", "lr0", "momentum"])
+        for i in range(6):
+            w.writerow([0.1 * i, 0.01 * (i + 1), 0.9 + 0.01 * i])
+    out = plot_evolve(p)
+    assert out.exists() and out.stat().st_size > 0

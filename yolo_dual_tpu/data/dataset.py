@@ -411,6 +411,50 @@ class YoloDataset:
         return out
 
 
+def quad_collate(samples):
+    """Reference collate_fn4 (utils/dataloaders.py) re-expressed for dict
+    samples: every 4 consecutive detection samples become ONE sample at 2x
+    resolution — alternately the first image upscaled 2x (labels unchanged:
+    normalized coords are scale-invariant) or a 2x2 mosaic of all four with
+    labels remapped into quadrants. Deterministic alternation replaces the
+    reference's random coin so loader output is reproducible; instance masks
+    are unsupported, matching the reference (collate_fn4 exists only in the
+    detection loader). Output targets capacity is 4x the per-sample capacity
+    so both branches share one static shape."""
+    import cv2
+
+    out = []
+    for gi in range(0, len(samples) - len(samples) % 4, 4):
+        group = samples[gi:gi + 4]
+        if any("masks" in s for s in group):
+            raise ValueError("quad_collate supports detection samples only")
+        M = group[0]["targets"].shape[0]
+        targets = np.zeros((4 * M, 5), np.float32)
+        tmask = np.zeros((4 * M,), bool)
+        if (gi // 4) % 2 == 0:  # upscale branch
+            img = cv2.resize(group[0]["image"], None, fx=2.0, fy=2.0,
+                             interpolation=cv2.INTER_LINEAR)
+            targets[:M] = group[0]["targets"]
+            tmask[:M] = group[0]["tmask"]
+        else:  # 2x2 mosaic branch
+            h, w = group[0]["image"].shape[:2]
+            img = np.zeros((2 * h, 2 * w, group[0]["image"].shape[2]),
+                           group[0]["image"].dtype)
+            for q, s in enumerate(group):
+                r, c = divmod(q, 2)
+                img[r * h:(r + 1) * h, c * w:(c + 1) * w] = s["image"]
+                t = s["targets"].copy()
+                t[:, 1] = (t[:, 1] + c) / 2.0
+                t[:, 2] = (t[:, 2] + r) / 2.0
+                t[:, 3:5] = t[:, 3:5] / 2.0
+                targets[q * M:(q + 1) * M] = t
+                tmask[q * M:(q + 1) * M] = s["tmask"]
+        merged = dict(group[0])
+        merged.update(image=img, targets=targets, tmask=tmask)
+        out.append(merged)
+    return out
+
+
 def create_dataloader(path, imgsz, batch_size, stride=32, single_cls=False, hyp=None,
                       augment=False, pad=0.0, rect=False, workers=0, prefix="",
                       shuffle=False, mask_downsample_ratio=1, overlap_mask=False,

@@ -32,7 +32,8 @@ class Loader:
 
     def __init__(self, dataset, batch_size: int = 16, shuffle: bool = False,
                  seed: int = 0, drop_last: bool = False, prefetch: int = 2,
-                 num_shards: Optional[int] = None, shard_index: Optional[int] = None):
+                 num_shards: Optional[int] = None, shard_index: Optional[int] = None,
+                 collate=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -42,6 +43,10 @@ class Loader:
         self.epoch = 0
         self.num_shards = num_shards if num_shards is not None else jax.process_count()
         self.shard_index = shard_index if shard_index is not None else jax.process_index()
+        # optional sample-list transform applied before stacking (the
+        # reference's collate_fn4 quad batching, utils/dataloaders.py); may
+        # change the number of samples per batch (e.g. 4 -> 1 at 2x size)
+        self.collate = collate
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -82,8 +87,13 @@ class Loader:
             samples = [self.dataset[i] for i in chunk]
             if len(chunk) < bs:  # pad final batch to static shape, mark count
                 samples += [samples[-1]] * (bs - len(chunk))
+            n_valid = len(chunk)
+            if self.collate is not None:
+                samples = self.collate(samples)
+                factor = max(1, bs // max(1, len(samples)))
+                n_valid = min(len(samples), -(-n_valid // factor))
             batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
-            batch["n_valid"] = np.int32(len(chunk))
+            batch["n_valid"] = np.int32(n_valid)
             yield batch
 
     def __iter__(self) -> Iterator[dict]:

@@ -98,9 +98,15 @@ def predict_images(model, variables, source, imgsz: int = 640, conf_thres: float
                    use_soft_nms: bool = False, augment: bool = False,
                    vid_stride: int = 1, max_frames: Optional[int] = None,
                    view_img: bool = False, fuse: bool = True,
-                   save_crop: bool = False):
-    """Run streaming prediction. Returns list of per-image detection arrays."""
+                   save_crop: bool = False, device_preprocess: Optional[bool] = None):
+    """Run streaming prediction. Returns list of per-image detection arrays.
+
+    device_preprocess: letterbox+normalize on device via the Pallas fused
+    kernel (kernels/preprocess.py) instead of host cv2 — the uint8 frame is
+    the only H2D transfer. Default: auto (on when the backend is TPU)."""
     import cv2
+    if device_preprocess is None:
+        device_preprocess = jax.default_backend() == "tpu"
     save_dir = increment_path(Path(save_dir), mkdir=True)
     names = names or {i: str(i) for i in range(model.nc)}
     if fuse:
@@ -145,8 +151,14 @@ def predict_images(model, variables, source, imgsz: int = 640, conf_thres: float
                                       max_frames=max_frames):
         with dt[0]:
             im = cv2.cvtColor(im0, cv2.COLOR_BGR2RGB)
-            im, ratio, pad = letterbox(im, imgsz, auto=False)
-            batch = jnp.asarray(im[None])
+            if device_preprocess:
+                from yolo_dual_tpu.kernels import letterbox_normalize
+                batch = letterbox_normalize(
+                    jnp.asarray(im[None]), imgsz,
+                    interpret=jax.default_backend() != "tpu")
+            else:
+                im, ratio, pad = letterbox(im, imgsz, auto=False)
+                batch = jnp.asarray(im[None])
         with dt[1]:
             out, n_valid, protos = jax.block_until_ready(forward(variables, batch))
         with dt[2]:

@@ -311,9 +311,35 @@ class ClassificationModel(BaseModel):
         self.dtype = dtype
         self.module = GraphModel(spec, dtype)
         self.nc = nc
+        self.cutoff = cutoff
         self.names = {i: str(i) for i in range(nc)}
         self.stride = np.array([32])
         self.hyp = None
+
+
+def reshape_classifier_output(model: "ClassificationModel", variables: dict,
+                              nc: int, imgsz: int = 224):
+    """Adapt a classifier to a new class count (reference
+    utils/torch_utils.py:66-87 reshape_classifier_output): rebuild the model
+    at `nc` and transplant every weight whose path+shape still matches, so
+    only the final Dense kernel/bias are freshly initialized. Returns
+    (new_model, new_variables)."""
+    if nc == model.nc:
+        return model, variables
+    new_model = ClassificationModel(model.yaml, nc=nc, cutoff=model.cutoff,
+                                    dtype=model.dtype)
+    new_vars = new_model.init(imgsz=imgsz)
+
+    def merge(old, new):
+        if isinstance(new, dict):
+            old = old if isinstance(old, dict) else {}
+            return {k: merge(old.get(k), new[k]) for k in new}
+        if old is not None and np.shape(old) == np.shape(new):
+            return old
+        return new
+
+    merged = {col: merge(variables.get(col), new_vars[col]) for col in new_vars}
+    return new_model, merged
 
 
 def scale_img_nhwc(img: jnp.ndarray, ratio: float, gs: int = 32) -> jnp.ndarray:

@@ -14,7 +14,7 @@ segment/train.py:521-529, re-expressed as optax transforms:
 from __future__ import annotations
 
 import math
-from typing import Callable, Dict, Optional
+from typing import Any, Callable, Dict, NamedTuple, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -96,16 +96,28 @@ def smart_optimizer(params, name: str = "SGD", hyp: Optional[Dict] = None,
                     epochs: int = 100, steps_per_epoch: int = 100,
                     cos_lr: bool = False, accumulate: int = 1,
                     total_batch_size: Optional[int] = None,
-                    nominal_batch_size: int = 64) -> optax.GradientTransformation:
+                    nominal_batch_size: int = 64,
+                    fused: bool = True) -> optax.GradientTransformation:
     """Build the 3-group optimizer. `accumulate` wraps it in optax.MultiSteps
     (the reference's gradient accumulation toward nominal batch 64,
-    segment/train.py:444-446, :531-539)."""
+    segment/train.py:444-446, :531-539).
+
+    `fused=True` (default) computes the update over ONE raveled parameter
+    vector — identical math (tested to 1e-6 against the per-leaf path) but
+    O(1) elementwise kernels instead of O(leaves): the per-leaf
+    multi_transform/inject_hyperparams chain costs ~4 tiny kernels per leaf
+    per step, which on a ~300-leaf model is milliseconds of pure dispatch
+    overhead inside an otherwise ~35 ms train step."""
     import jax
     hyp = dict(hyp or {})
     decay = hyp.get("weight_decay", 5e-4)
     if total_batch_size is not None:
         # reference scales weight decay with the effective batch
         decay = decay * total_batch_size * accumulate / nominal_batch_size
+
+    if fused:
+        return _fused_smart_optimizer(params, name, hyp, decay, epochs,
+                                      steps_per_epoch, cos_lr, accumulate)
 
     labels = jax.tree_util.tree_map_with_path(lambda p, _: param_group_label(p), params)
 
@@ -149,4 +161,98 @@ def smart_optimizer(params, name: str = "SGD", hyp: Optional[Dict] = None,
     n2 = sum(1 for l in jax.tree_util.tree_leaves(labels) if l == "g2")
     LOGGER.info(f"optimizer: {name}(lr={hyp.get('lr0', 0.01)}) with groups "
                 f"{n0} weight(decay={decay:.5g}), {n1} weight(decay=0.0), {n2} bias")
+    return tx
+
+
+class FusedOptState(NamedTuple):
+    """Optimizer state over ONE raveled vector spanning every param leaf.
+
+    m1 = SGD momentum trace / Adam first moment (None when unused);
+    m2 = Adam/RMSProp second moment (None when unused)."""
+
+    count: Any
+    m1: Any
+    m2: Any
+
+
+def _fused_smart_optimizer(params, name, hyp, decay, epochs, steps_per_epoch,
+                           cos_lr, accumulate) -> optax.GradientTransformation:
+    """Flat-vector twin of the per-leaf `smart_optimizer` chain.
+
+    Group semantics are preserved elementwise: weight decay is premultiplied
+    into a mask vector (g0 leaves only) and the bias group's warmup lr is
+    selected by a boolean mask — everything else (trace/nesterov, Adam
+    moments+bias correction, RMS) is the same math optax applies per leaf,
+    evaluated once over the concatenated parameter vector. Kernel count per
+    step drops from O(leaves)·4 to ~8 + one slice per leaf at unravel."""
+    import jax
+    from jax.flatten_util import ravel_pytree
+
+    labels = jax.tree_util.tree_map_with_path(lambda p, _: param_group_label(p), params)
+    label_leaves = jax.tree_util.tree_leaves(labels)
+    param_leaves = jax.tree_util.tree_leaves(params)
+    assert len(label_leaves) == len(param_leaves)
+    wd_mask = np.concatenate([np.full(l.size, lab == "g0", np.float32)
+                              for l, lab in zip(param_leaves, label_leaves)])
+    bias_mask = np.concatenate([np.full(l.size, lab == "g2", bool)
+                                for l, lab in zip(param_leaves, label_leaves)])
+    wd_v = jnp.asarray(wd_mask * decay) if decay else None
+    bias_v = jnp.asarray(bias_mask)
+
+    lr01 = build_lr_schedule(hyp, epochs, steps_per_epoch, cos_lr, "g0", accumulate)
+    lr2 = build_lr_schedule(hyp, epochs, steps_per_epoch, cos_lr, "g2", accumulate)
+    mom_s = build_momentum_schedule(hyp, steps_per_epoch, accumulate)
+
+    sgd = name in ("SGD", "sgd")
+    adam = name in ("Adam", "adam", "AdamW", "adamw")
+    rms = name in ("RMSProp", "rmsprop")
+    if not (sgd or adam or rms):
+        raise NotImplementedError(f"Optimizer {name} not implemented")
+
+    def init_fn(params):
+        flat, _ = ravel_pytree(params)
+        z = jnp.zeros_like(flat)
+        return FusedOptState(jnp.zeros((), jnp.int32),
+                             z if (sgd or adam) else None,
+                             z if (adam or rms) else None)
+
+    def update_fn(grads, state, params=None):
+        assert params is not None, "fused optimizer needs params (weight decay)"
+        flat_g, _ = ravel_pytree(grads)
+        flat_p, unravel = ravel_pytree(params)
+        c = state.count
+        # inject_hyperparams evaluates schedules at the pre-increment count
+        lr = jnp.where(bias_v, lr2(c), lr01(c))
+        m = mom_s(c)
+        m1, m2 = state.m1, state.m2
+        if sgd:
+            g = flat_g + wd_v * flat_p if wd_v is not None else flat_g
+            m1 = g + m * m1                      # optax.trace
+            u = -(lr * (g + m * m1))             # nesterov
+        elif adam:
+            b2, eps = 0.999, 1e-8
+            ci = (c + 1).astype(flat_g.dtype)
+            m1 = m * m1 + (1.0 - m) * flat_g
+            m2 = b2 * m2 + (1.0 - b2) * jnp.square(flat_g)
+            mu_hat = m1 / (1.0 - jnp.power(m, ci))
+            nu_hat = m2 / (1.0 - jnp.power(b2, ci))
+            u = mu_hat / (jnp.sqrt(nu_hat) + eps)
+            if wd_v is not None:
+                u = u + wd_v * flat_p
+            u = -(lr * u)
+        else:  # rms
+            m2 = 0.9 * m2 + 0.1 * jnp.square(flat_g)
+            u = flat_g * jax.lax.rsqrt(m2 + 1e-8)
+            if wd_v is not None:
+                u = u + wd_v * flat_p
+            u = -(lr * u)
+        return unravel(u), FusedOptState(c + 1, m1, m2)
+
+    tx = optax.GradientTransformation(init_fn, update_fn)
+    if accumulate > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
+    n0 = int(wd_mask.sum() > 0 and sum(1 for l in label_leaves if l == "g0"))
+    LOGGER.info(f"optimizer: fused {name}(lr={hyp.get('lr0', 0.01)}) over "
+                f"{len(param_leaves)} leaves ({wd_mask.size} elements; "
+                f"{n0} decayed leaves, decay={decay:.5g})")
     return tx

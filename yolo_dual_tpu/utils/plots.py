@@ -204,6 +204,38 @@ def plot_results(csv_file="results.csv", save_dir="."):
     return out
 
 
+def plot_evolve(evolve_csv="evolve.csv"):
+    """Scatter grid of fitness vs each evolved hyperparameter, best point
+    highlighted (reference utils/plots.py:476-500 plot_evolve)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import pandas as pd
+    evolve_csv = Path(evolve_csv)
+    df = pd.read_csv(evolve_csv)
+    df.columns = [c.strip() for c in df.columns]
+    fit = df["fitness"].values
+    best = int(np.argmax(fit))
+    keys = [c for c in df.columns if c != "fitness"]
+    n = len(keys)
+    ncols = 5
+    fig, axes = plt.subplots(max(1, -(-n // ncols)), ncols,
+                             figsize=(12, 2.4 * max(1, -(-n // ncols))),
+                             tight_layout=True)
+    axes = np.atleast_1d(axes).ravel()
+    for ax, k in zip(axes, keys):
+        v = df[k].values
+        ax.scatter(v, fit, c=fit, cmap="viridis", alpha=0.7, s=12)
+        ax.scatter(v[best], fit[best], marker="+", c="red", s=80)
+        ax.set_title(f"{k} = {v[best]:.3g}", fontsize=8)
+    for ax in axes[len(keys):]:
+        ax.axis("off")
+    out = evolve_csv.with_name("evolve.png")
+    fig.savefig(out, dpi=200)
+    plt.close(fig)
+    return out
+
+
 def feature_visualization(x, module_type, stage, n=32, save_dir=Path("runs/features")):
     """Save first-n channel maps of a feature tensor (reference utils/plots.py:184)."""
     import matplotlib
