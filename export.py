@@ -72,18 +72,44 @@ def export_savedmodel(model, variables, imgsz: int, out: Path):
     return out
 
 
-def export_tflite(saved_model_dir: Path, out: Path):
+def export_tflite(saved_model_dir: Path, out: Path, int8: bool = False,
+                  imgsz: int = 640, rep_images=None):
+    """TFLite conversion; `int8` adds post-training full-integer quantization
+    with float fallback (the upstream YOLOv5 `export.py --int8` capability the
+    reference lost with its missing export.py): a representative dataset
+    calibrates activation ranges, model IO stays float32 so the serving
+    contract is unchanged. `rep_images`: iterable of HWC uint8 / NHWC float
+    calibration images; defaults to random frames."""
+    import numpy as np
     import tensorflow as tf
     converter = tf.lite.TFLiteConverter.from_saved_model(str(saved_model_dir))
     converter.target_spec.supported_ops = [tf.lite.OpsSet.TFLITE_BUILTINS,
                                            tf.lite.OpsSet.SELECT_TF_OPS]
+    if int8:
+        converter.optimizations = [tf.lite.Optimize.DEFAULT]
+
+        def _rep():
+            if rep_images is not None:
+                for im in rep_images:
+                    im = np.asarray(im)
+                    if im.ndim == 3:
+                        im = im[None]
+                    if im.dtype == np.uint8:
+                        im = im.astype(np.float32) / 255.0
+                    yield [im.astype(np.float32)]
+            else:
+                rng = np.random.default_rng(0)
+                for _ in range(16):
+                    yield [rng.uniform(0, 1, (1, imgsz, imgsz, 3)).astype(np.float32)]
+
+        converter.representative_dataset = _rep
     out.write_bytes(converter.convert())
-    LOGGER.info(f"exported TFLite -> {out}")
+    LOGGER.info(f"exported TFLite{' int8' if int8 else ''} -> {out}")
     return out
 
 
 def run(weights="", cfg="yolov5s-seg.yaml", nc=80, imgsz=640,
-        include=("torchpt",), out_dir="runs/export", fuse=False):
+        include=("torchpt",), out_dir="runs/export", fuse=False, int8=False):
     model, variables = load_model(weights, cfg, nc, imgsz)
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -99,7 +125,8 @@ def run(weights="", cfg="yolov5s-seg.yaml", nc=80, imgsz=640,
         sm = export_savedmodel(model, variables, imgsz, out_dir / f"{stem}_saved_model")
         results["savedmodel"] = sm
         if "tflite" in include:
-            results["tflite"] = export_tflite(sm, out_dir / f"{stem}.tflite")
+            results["tflite"] = export_tflite(sm, out_dir / f"{stem}.tflite",
+                                              int8=int8, imgsz=imgsz)
     return results
 
 
@@ -114,6 +141,8 @@ def parse_opt(argv=None):
     p.add_argument("--out-dir", default=str(ROOT / "runs" / "export"))
     p.add_argument("--fuse", action="store_true",
                    help="fold conv+BN before SavedModel/TFLite export")
+    p.add_argument("--int8", action="store_true",
+                   help="TFLite post-training int8 quantization (float IO)")
     return p.parse_args(argv)
 
 

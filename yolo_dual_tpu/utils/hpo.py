@@ -155,6 +155,11 @@ class HyperparameterSearch:
             self._record(fitness, hyp)
             LOGGER.info(f"HPO trial {len(self.history)}/{self.trials}: "
                         f"fitness={fitness:.4g} (best={self.best[0]:.4g})")
+        try:  # hpo.csv shares the evolve.csv schema (fitness first)
+            from yolo_dual_tpu.utils.plots import plot_evolve
+            plot_evolve(self.csv)
+        except Exception as e:  # plotting must never fail the search
+            LOGGER.warning(f"hpo plot failed: {e}")
         return self.best
 
 
