@@ -285,3 +285,32 @@ def test_cluster_nms_equals_greedy(rng):
             a = np.asarray(greedy(jnp.asarray(boxes), jnp.asarray(scores), thr, md))
             b = np.asarray(N.nms_padded_cluster(jnp.asarray(boxes), jnp.asarray(scores), thr, md))
             np.testing.assert_array_equal(a, b, err_msg=f"trial {trial} thr {thr}")
+
+
+def test_block_nms_equals_greedy(rng):
+    """Block-greedy NMS (nms_padded_block) must equal the serial greedy loop
+    EXACTLY — keep set, order, padding — across random inputs, tied scores,
+    duplicate boxes, n < max_det, and block sizes that don't divide the keep
+    count."""
+    import jax.numpy as jnp
+    import yolo_dual_tpu.ops.nms as N
+
+    for trial in range(8):
+        n = int(rng.integers(4, 160))
+        xy = rng.uniform(0, 100, (n, 2)).astype(np.float32)
+        wh = rng.uniform(2, 60, (n, 2)).astype(np.float32)
+        boxes = np.concatenate([xy, xy + wh], 1)
+        scores = rng.uniform(0, 1, n).astype(np.float32)
+        scores[rng.choice(n, int(rng.integers(0, n)), replace=False)] = 0.0
+        if n > 10:
+            boxes[1] = boxes[0]
+            scores[1] = scores[0]
+        order = np.argsort(-scores)
+        boxes, scores = boxes[order], scores[order]
+        for thr, md in ((0.3, 7), (0.5, 200)):
+            for blk in (4, 16):
+                a = np.asarray(N.nms_padded_serial(jnp.asarray(boxes), jnp.asarray(scores), thr, md))
+                b = np.asarray(N.nms_padded_block(jnp.asarray(boxes), jnp.asarray(scores),
+                                                  thr, md, block=blk))
+                np.testing.assert_array_equal(
+                    a, b, err_msg=f"trial {trial} thr {thr} block {blk}")
