@@ -55,32 +55,47 @@ def letterbox_normalize(images: jnp.ndarray, out_size: int = 640,
     rm = jnp.asarray(_resize_matrix(h, nh))          # (nh, h)
     cm = jnp.asarray(_resize_matrix(w, nw).T)        # (w, nw)
 
+    # Mosaic TC cannot reshape/transpose a trailing 3-channel lane dim, so the
+    # kernel works on 2-D channel planes: HWC -> CHW outside (a cheap uint8
+    # relayout XLA fuses with the H2D path), grid over (batch, channel).
+    planes = jnp.transpose(images, (0, 3, 1, 2))     # (b, c, h, w) uint8
+
     def body(img_ref, rm_ref, cm_ref, out_ref):
-        img = img_ref[...].reshape(h, w * c).astype(jnp.float32)
+        # u8 vectors support neither reshape nor direct f32 convert on the TC;
+        # widen through int32 first, then fold the leading unit dims.
+        img = img_ref[...].astype(jnp.int32).astype(jnp.float32).reshape(h, w)
         resized_rows = jax.lax.dot_general(
             rm_ref[...], img, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)       # (nh, w*c)
-        t = resized_rows.reshape(nh, w, c).transpose(0, 2, 1).reshape(nh * c, w)
+            preferred_element_type=jnp.float32)       # (nh, w)
         resized = jax.lax.dot_general(
-            t, cm_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)       # (nh*c, nw)
-        resized = resized.reshape(nh, c, nw).transpose(0, 2, 1)  # (nh, nw, c)
-        canvas = jnp.full((s, s, c), fill, jnp.float32)
-        canvas = jax.lax.dynamic_update_slice(canvas, resized, (top, left, 0))
-        out_ref[...] = (canvas / 255.0).reshape(1, s, s, c)
+            resized_rows, cm_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (nh, nw)
+        # pad to the (s, s) canvas with static concatenates — top/left are
+        # Python ints, and Mosaic TC has no dynamic_update_slice lowering
+        fillv = jnp.float32(fill)
+        parts_w = [p for p in (
+            jnp.full((nh, left), fillv), resized,
+            jnp.full((nh, s - nw - left), fillv)) if p.shape[1]]
+        row = parts_w[0] if len(parts_w) == 1 else jnp.concatenate(parts_w, axis=1)
+        parts_h = [p for p in (
+            jnp.full((top, s), fillv), row,
+            jnp.full((s - nh - top, s), fillv)) if p.shape[0]]
+        canvas = parts_h[0] if len(parts_h) == 1 else jnp.concatenate(parts_h, axis=0)
+        out_ref[...] = (canvas / 255.0).reshape(1, 1, s, s)
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         body,
-        grid=(b,),
+        grid=(b, c),
         in_specs=[
-            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((nh, h), lambda i: (0, 0)),
-            pl.BlockSpec((w, nw), lambda i: (0, 0)),
+            pl.BlockSpec((1, 1, h, w), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((nh, h), lambda i, j: (0, 0)),
+            pl.BlockSpec((w, nw), lambda i, j: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, s, s, c), lambda i: (i, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, s, s, c), jnp.float32),
+        out_specs=pl.BlockSpec((1, 1, s, s), lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, c, s, s), jnp.float32),
         interpret=interpret,
-    )(images, rm, cm)
+    )(planes, rm, cm)
+    return jnp.transpose(out, (0, 2, 3, 1))          # back to NHWC
 
 
 def letterbox_normalize_reference(images: np.ndarray, out_size: int = 640,
