@@ -125,3 +125,43 @@ def test_fuse_keeps_nonconv_bn():
     for a, b in zip(jax.tree_util.tree_leaves(ref), jax.tree_util.tree_leaves(got)):
         np.testing.assert_allclose(np.asarray(a, np.float32), np.asarray(b, np.float32),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_blocked_stem_parity():
+    """The space-to-depth blocked-stem rewrite (nn/blocked.py, fuse(blocked=
+    True)) must reproduce the plain fused forward exactly up to float
+    reassociation: the scattered kernels only add zero terms."""
+    from yolo_dual_tpu.models.model import SegmentationModel
+    from yolo_dual_tpu.nn import blocked
+
+    model = SegmentationModel(CFG / "segment" / "yolov5n-seg.yaml")
+    assert blocked.eligible(model.spec)
+    variables = model.init(imgsz=64)
+    variables = _perturbed_stats(variables, np.random.default_rng(4))
+    x = jnp.asarray(np.random.default_rng(5).uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
+    with jax.default_matmul_precision("highest"):
+        fm, fv = model.fuse(variables, blocked=False)
+        bm, bv = model.fuse(variables, blocked=True)
+        # rewritten layers carry the blocked shapes
+        assert bv["params"]["model_0"]["conv"]["kernel"].shape[:2] == (8, 8)
+        assert bm.spec.layers[3].kw()["k"] == 2
+        ref = fm.apply(fv, x, train=False)
+        got = bm.apply(bv, x, train=False)
+    for a, b in zip(jax.tree_util.tree_leaves(ref), jax.tree_util.tree_leaves(got)):
+        np.testing.assert_allclose(np.asarray(a, np.float32), np.asarray(b, np.float32),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_blocked_eligibility_guards():
+    """Non-stem graphs must not be rewritten (auto mode falls back silently;
+    forcing blocked=True raises)."""
+    from yolo_dual_tpu.models.model import build_model
+    from yolo_dual_tpu.nn import blocked
+
+    model = build_model(str(CFG / "semantic" / "resnet18.yaml"))
+    assert not blocked.eligible(model.spec)
+    variables = model.init(imgsz=64)
+    fm, fv = model.fuse(variables)  # auto: plain fuse, no error
+    assert fm.spec.layers[0].name != "Conv" or fm.spec.layers[0].kw().get("k") != 8
+    with pytest.raises(ValueError):
+        model.fuse(variables, blocked=True)

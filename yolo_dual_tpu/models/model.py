@@ -167,19 +167,35 @@ class BaseModel:
         return self.module.apply(variables, x, train=train, decode=decode,
                                  mutable=mutable, rngs=rngs)
 
-    def fuse(self, variables):
+    def fuse(self, variables, blocked: Optional[bool] = None):
         """Return (fused_model, fused_variables) with every Conv's BatchNorm
         folded into its kernel/bias — the reference's ``model.fuse()``
         (models/yolo.py fuse, utils/torch_utils.py fuse_conv_and_bn), done
         functionally. The fused model's forward is numerically ≡ the unfused
         inference forward (BN affine is linear) but compiles without the BN
         f32 affine chain. Inference-only: the fused variables carry no
-        BN params to train."""
+        BN params to train.
+
+        `blocked` (default: auto when the graph starts with the v5 stem
+        pattern) additionally rewrites layers 0-3 into the space-to-depth
+        blocked layout (nn/blocked.py) — same math, ~2.7x faster on TPU where
+        the tiny-channel 320²/160² stages otherwise starve the MXU lanes."""
         import copy as _copy
         eps = 1e-5 if self.spec.style == "semantic" else 1e-3
         fused_vars = fuse_conv_bn(variables, eps)
+        spec = self.spec
+        from yolo_dual_tpu.nn import blocked as _blocked
+        if blocked is None:
+            blocked = _blocked.eligible(spec)
+        if blocked:
+            if not _blocked.eligible(spec):
+                raise ValueError("blocked=True but the graph's first four layers "
+                                 "are not the Conv6x6/Conv3x3/C3/Conv3x3 stem pattern")
+            fused_vars = _blocked.rewrite_variables(fused_vars, spec)
+            spec = _blocked.rewrite_spec(spec)
         m = _copy.copy(self)
-        m.module = GraphModel(self.spec, self.dtype, fused=True)
+        m.spec = spec
+        m.module = GraphModel(spec, self.dtype, fused=True)
         return m, fused_vars
 
     def info(self, variables=None):
