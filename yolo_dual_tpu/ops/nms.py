@@ -376,37 +376,58 @@ def nms_from_raw(raw, anchors, strides, conf_thres: float = 0.25,
     shapes = tuple((p.shape[1], p.shape[2], p.shape[3]) for p in raw)
     grid, anch, strd = _candidate_tables(shapes, anchors, strides, order="yxa")
     # transpose BACK to (bs, ny, nx, na, no): cancels the heads' raw-layout
-    # transpose (XLA elides transpose-of-transpose), so this reads the conv
-    # outputs in their native layout instead of materializing a ~190 MB
-    # relayout of every head map (measured 3.5 -> ~1 ms for the conf stage)
-    flat = jnp.concatenate(
-        [p.transpose(0, 2, 3, 1, 4).reshape(bs, -1, no) for p in raw], axis=1)
-    n_cand = flat.shape[1]
-    obj = jax.nn.sigmoid(flat[..., 4].astype(jnp.float32))                # (bs, N)
-    cls_logits = flat[..., 5:5 + nc]
-    if classes_mask is not None:
-        cls_logits = jnp.where(classes_mask[None, None, :], cls_logits,
-                               jnp.asarray(-1e4, cls_logits.dtype))
+    # transpose (XLA elides transpose-of-transpose), so each q below is a
+    # zero-copy reshape of a head conv output — never a ~190 MB relayout
+    qs = [p.transpose(0, 2, 3, 1, 4).reshape(bs, -1, no) for p in raw]
+    n_cand = sum(q.shape[1] for q in qs)
+    offs = np.cumsum([0] + [q.shape[1] for q in qs])
     k = min(pre_nms_topk, n_cand * (nc if (multi_label and nc > 1) else 1))
 
     if multi_label and nc > 1:
         # multi-label needs every (candidate, class) score; keep f32 for
         # eval-metric parity (this is the val path, not the serving path)
+        flat = jnp.concatenate(qs, axis=1)
+        obj = jax.nn.sigmoid(flat[..., 4].astype(jnp.float32))
+        cls_logits = flat[..., 5:5 + nc]
+        if classes_mask is not None:
+            cls_logits = jnp.where(classes_mask[None, None, :], cls_logits,
+                                   jnp.asarray(-1e4, cls_logits.dtype))
         cls_conf = jax.nn.sigmoid(cls_logits.astype(jnp.float32)) * obj[..., None]
         flat_scores = jnp.where(cls_conf > conf_thres, cls_conf, 0.0).reshape(bs, -1)
         scores, sidx = jax.lax.top_k(flat_scores, k)
         cand_idx = sidx // nc
         cj = (sidx % nc).astype(jnp.float32)
+        scores = jnp.where(scores > conf_thres, scores, 0.0)
+        rows = jnp.take_along_axis(flat, cand_idx[..., None], axis=1).astype(jnp.float32)
     else:
-        max_logit = cls_logits.max(axis=-1).astype(jnp.float32)           # (bs, N)
-        cj_all = jnp.argmax(cls_logits, axis=-1).astype(jnp.float32)
-        conf = jax.nn.sigmoid(max_logit) * obj
-        conf = jnp.where(jnp.logical_and(conf > conf_thres, obj > conf_thres), conf, 0.0)
+        # serving path: reduce conf PER LEVEL straight off each head map
+        # (sigmoid+max fuse into the conv output read; no (bs,N,no) concat is
+        # ever materialized — measured 3.9 -> ~0.5 ms for this stage), rank
+        # once, then gather only the k selected rows from each level and
+        # recover the class argmax on those k rows alone.
+        conf_ls = []
+        for q in qs:
+            obj_l = jax.nn.sigmoid(q[..., 4].astype(jnp.float32))
+            cls_l = q[..., 5:5 + nc]
+            if classes_mask is not None:
+                cls_l = jnp.where(classes_mask[None, None, :], cls_l,
+                                  jnp.asarray(-1e4, cls_l.dtype))
+            c = jax.nn.sigmoid(cls_l.max(axis=-1).astype(jnp.float32)) * obj_l
+            conf_ls.append(jnp.where((c > conf_thres) & (obj_l > conf_thres), c, 0.0))
+        conf = jnp.concatenate(conf_ls, axis=1)                            # (bs, N) f32
         scores, cand_idx = jax.lax.top_k(conf, k)
-        cj = jnp.take_along_axis(cj_all, cand_idx, axis=1)
-    scores = jnp.where(scores > conf_thres, scores, 0.0)
-
-    rows = jnp.take_along_axis(flat, cand_idx[..., None], axis=1).astype(jnp.float32)
+        scores = jnp.where(scores > conf_thres, scores, 0.0)
+        rows = jnp.zeros((bs, k, no), jnp.float32)
+        for q, off in zip(qs, offs[:-1]):
+            nl = q.shape[1]
+            in_level = (cand_idx >= off) & (cand_idx < off + nl)
+            il = jnp.clip(cand_idx - off, 0, nl - 1)
+            rl = jnp.take_along_axis(q, il[..., None], axis=1).astype(jnp.float32)
+            rows = jnp.where(in_level[..., None], rl, rows)
+        cls_sel = rows[..., 5:5 + nc]
+        if classes_mask is not None:
+            cls_sel = jnp.where(classes_mask[None, None, :], cls_sel, -1e4)
+        cj = jnp.argmax(cls_sel, axis=-1).astype(jnp.float32)
     g = grid[cand_idx]                                                    # (bs, k, 2)
     a = anch[cand_idx]
     s = strd[cand_idx][..., None]
@@ -415,7 +436,7 @@ def nms_from_raw(raw, anchors, strides, conf_thres: float = 0.25,
     box = jnp.asarray(xywh2xyxy(jnp.concatenate([xy, wh], -1).reshape(-1, 4))
                       ).reshape(bs, k, 4)
     # obj-scaled mask coefs, matching the reference NMS (utils/general.py:949)
-    obj_sel = jnp.take_along_axis(obj, cand_idx, axis=1)
+    obj_sel = jax.nn.sigmoid(rows[..., 4])
     mask = rows[..., 5 + nc:] * obj_sel[..., None]
 
     def one(box_i, scores_i, cj_i, mask_i):
