@@ -38,7 +38,7 @@ from yolo_dual_tpu.train import (
 )
 from yolo_dual_tpu.utils.general import (
     LOGGER, check_dataset, check_img_size, colorstr, increment_path, init_seeds,
-    yaml_load, yaml_save,
+    select_device, yaml_load, yaml_save,
 )
 
 CONFIGS = ROOT / "yolo_dual_tpu" / "configs"
@@ -56,6 +56,7 @@ def find_cfg(name, *dirs):
 
 
 def train(opt):
+    select_device(opt.device)
     init_seeds(opt.seed)
     resume_ckpt = None
     if opt.resume:
@@ -83,7 +84,10 @@ def train(opt):
     yaml_save(save_dir / "opt.yaml", vars(opt))
     imgsz = check_img_size(opt.imgsz, 32)
 
-    model = SegmentationModel(find_cfg(opt.cfg, "segment", "models"), nc=int(data["nc"]))
+    import jax.numpy as jnp
+    dtype = {"bf16": jnp.bfloat16, "f32": None}[opt.dtype]
+    model = SegmentationModel(find_cfg(opt.cfg, "segment", "models"), nc=int(data["nc"]),
+                              dtype=dtype, blocked_stem=not opt.no_blocked_stem)
     variables = model.init(imgsz=imgsz)
     if opt.weights:
         from yolo_dual_tpu.io import import_torch_state_dict, load_torch_checkpoint
@@ -236,6 +240,10 @@ def parse_opt(argv=None):
     p.add_argument("--nosave-optimizer", action="store_true")
     p.add_argument("--evolve", type=int, default=0, help="generations of hyperparameter evolution")
     p.add_argument("--remat", action="store_true", help="rematerialize forward (saves HBM)")
+    p.add_argument("--dtype", choices=["bf16", "f32"], default="bf16",
+                   help="compute dtype (params stay f32; bf16 feeds the MXU at full rate)")
+    p.add_argument("--no-blocked-stem", action="store_true",
+                   help="disable the s2d blocked-stem train schedule (nn/blocked_train.py)")
     p.add_argument("--loggers", nargs="*", default=[],
                    help="extra sinks: wandb clearml comet (no-ops if not installed)")
     p.add_argument("--device", default="", help="accepted for reference-CLI parity (JAX selects devices)")

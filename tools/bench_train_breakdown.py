@@ -40,7 +40,9 @@ def main():
 
     hyp = dict(lr0=0.01, lrf=0.01, momentum=0.937, weight_decay=5e-4, warmup_epochs=0.0,
                box=0.05, cls=0.5, obj=1.0, anchor_t=4.0, cls_pw=1.0, obj_pw=1.0, fl_gamma=0.0)
-    model = SegmentationModel(CFG, dtype=jnp.bfloat16)
+    import os
+    blocked = os.environ.get("BLOCKED_STEM", "1") == "1"
+    model = SegmentationModel(CFG, dtype=jnp.bfloat16, blocked_stem=blocked)
     variables = model.init(imgsz=IMGSZ)
     head_kw = model.spec.layers[-1].kw()
     loss = ComputeSegmentLoss(head_kw["anchors"], head_kw["strides"], 80, 32, hyp,

@@ -42,6 +42,7 @@ class GraphModel(nn.Module):
     spec: ModelSpec
     dtype: Dtype = None
     fused: bool = False  # conv+BN folded variables (see BaseModel.fuse)
+    blocked_stem: bool = False  # train-path s2d stem (nn/blocked_train.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False, decode: Optional[bool] = None):
@@ -64,7 +65,13 @@ class GraphModel(nn.Module):
                 inp = out
             else:
                 inp = y[f]
-            if layer.name in ("Detect", "Segment", "DetectAux"):
+            if self.blocked_stem and layer.i <= 3:
+                from yolo_dual_tpu.nn.blocked_train import build_blocked_layer
+                prev_c2 = tuple(l.c2 for l in self.spec.layers[:3])
+                mod = build_blocked_layer(layer, self.spec.ch_in, prev_c2,
+                                          self.dtype, f"model_{layer.i}")
+                out = mod(inp, train)
+            elif layer.name in ("Detect", "Segment", "DetectAux"):
                 mod = build_module(layer.name, layer.kw(), self.dtype, f"model_{layer.i}")
                 out = mod(inp, train=train, decode=decode)
             elif layer.n > 1:
@@ -138,14 +145,20 @@ class BaseModel:
     task = "detect"
 
     def __init__(self, cfg="yolov5s.yaml", ch: int = 3, nc: Optional[int] = None,
-                 anchors=None, dtype: Dtype = None, verbose: bool = False):
+                 anchors=None, dtype: Dtype = None, verbose: bool = False,
+                 blocked_stem: bool = False):
         self.yaml = _load_cfg(cfg)
         self.yaml_file = Path(cfg).name if isinstance(cfg, (str, Path)) else None
         spec = parse_config(self.yaml, ch=ch, nc=nc, anchors_override=anchors, verbose=verbose)
         spec = _probe_strides(spec, dtype)
         self.spec = spec
         self.dtype = dtype
-        self.module = GraphModel(spec, dtype)
+        # Train-path blocked stem (nn/blocked_train.py): exact same math and
+        # parameter tree, ~2.7x faster stem on TPU. Applied only when the
+        # graph starts with the v5 Conv6/Conv3/C3/Conv3 pattern.
+        from yolo_dual_tpu.nn import blocked as _blocked
+        self.blocked_stem = bool(blocked_stem) and _blocked.eligible(spec)
+        self.module = GraphModel(spec, dtype, blocked_stem=self.blocked_stem)
         self.nc = spec.nc
         self.names = {i: str(i) for i in range(spec.nc)}
         self.stride = np.array(spec.strides or [32])
