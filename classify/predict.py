@@ -21,7 +21,10 @@ from yolo_dual_tpu.utils.general import LOGGER
 CONFIGS = ROOT / "yolo_dual_tpu" / "configs"
 
 
-def run(weights="", model="yolov5n.yaml", source="", imgsz=224, cutoff=10, topk=5, **kw):
+def run(weights="", model="yolov5n.yaml", source="", imgsz=224, cutoff=10, topk=5,
+        device="", **kw):
+    from yolo_dual_tpu.utils.general import select_device
+    select_device(device)
     import cv2
     sys.path.insert(0, str(ROOT / "classify"))
     from train import build_classifier

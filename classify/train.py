@@ -55,6 +55,8 @@ def build_classifier(model_name: str, nc: int, cutoff: int = 10):
 
 
 def train(opt):
+    from yolo_dual_tpu.utils.general import select_device
+    select_device(opt.device)
     from yolo_dual_tpu.data.classify import create_classification_dataloader
     init_seeds(opt.seed)
     save_dir = increment_path(Path(opt.project) / opt.name, exist_ok=opt.exist_ok, mkdir=True)

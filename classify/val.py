@@ -23,7 +23,9 @@ CONFIGS = ROOT / "yolo_dual_tpu" / "configs"
 
 
 def run(weights="", model="yolov5n.yaml", data_dir="", imgsz=224, batch_size=64,
-        cutoff=10, **kw):
+        cutoff=10, device="", **kw):
+    from yolo_dual_tpu.utils.general import select_device
+    select_device(device)
     sys.path.insert(0, str(ROOT / "classify"))
     from train import build_classifier
     from yolo_dual_tpu.data.classify import ClassificationDataset

@@ -29,7 +29,9 @@ def run(weights="", cfg="yolov5s-seg.yaml", source="data/images", imgsz=640,
         name="exp", save_txt=False, nosave=False, line_thickness=3,
         hide_labels=False, hide_conf=False, soft_nms=False, nc=80, data=None,
         augment=False, vid_stride=1, max_frames=None, view_img=False,
-        fuse=True, save_crop=False, **kw):
+        fuse=True, save_crop=False, device="", **kw):
+    from yolo_dual_tpu.utils.general import select_device
+    select_device(device)
     imgsz = check_img_size(imgsz, 32)
     if data:
         from yolo_dual_tpu.utils.general import check_dataset

@@ -60,7 +60,9 @@ def run(data="coco128-seg.yaml", weights="", cfg="yolov5s-seg.yaml", batch_size=
         imgsz=640, conf_thres=0.001, iou_thres=0.6, max_det=300, task="val",
         single_cls=False, verbose=False, soft_nms=False, mask_ratio=4, plots=False,
         save_dir=".", augment=False, save_json=False, rect=False, cache=False,
-        fuse=True, **kw):
+        fuse=True, device="", **kw):
+    from yolo_dual_tpu.utils.general import select_device
+    select_device(device)
     data = check_dataset(find_cfg(data, "data"))
     imgsz = check_img_size(imgsz, 32)
     nc = 1 if single_cls else int(data["nc"])

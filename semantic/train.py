@@ -49,6 +49,8 @@ def find_cfg(name, d="semantic"):
 
 
 def train(opt):
+    from yolo_dual_tpu.utils.general import select_device
+    select_device(opt.device)
     init_seeds(opt.seed)
     save_dir = increment_path(Path(opt.project) / opt.name, exist_ok=opt.exist_ok, mkdir=True)
     hyp = yaml_load(find_cfg(opt.hyp, "hyps")) if opt.hyp else dict(

@@ -32,7 +32,9 @@ CLASS_NAMES = ["sky", "building", "pole", "road", "pavement", "tree", "signsymbo
 
 def run(weights="", cfg="resnet50.yaml", img_dir="", json_dir="", imgsz=640,
         batch_size=16, nc=12, ignore_index=11, loss="dice", visualize=False,
-        project="runs/val-semantic", name="exp", **kw):
+        project="runs/val-semantic", name="exp", device="", **kw):
+    from yolo_dual_tpu.utils.general import select_device
+    select_device(device)
     cfg_path = Path(cfg) if Path(cfg).exists() else CONFIGS / "semantic" / cfg
     model = SemanticSegModel(cfg_path, nc=nc)
     variables = model.init(imgsz=imgsz)

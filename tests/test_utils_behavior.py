@@ -154,3 +154,20 @@ def test_prune_sparsity():
     kept_min = np.abs(np.asarray(k)[np.asarray(k) != 0]).min()
     dropped_max = np.abs(orig[np.asarray(k) == 0]).max()
     assert kept_min >= dropped_max
+
+
+def test_select_device_cpu_pins_platform():
+    """--device cpu parity (reference utils/torch_utils.py select_device):
+    "cpu" pins jax_platforms via config.update (wins over env/site hooks);
+    ordinal/empty device strings leave backend selection alone."""
+    import jax
+
+    from yolo_dual_tpu.utils.general import select_device
+
+    before = jax.config.jax_platforms
+    select_device("")        # no-op
+    select_device("0,1")     # ordinals: JAX owns placement, no-op
+    assert jax.config.jax_platforms == before
+    select_device("CPU")
+    assert jax.config.jax_platforms == "cpu"
+    assert jax.devices()[0].platform == "cpu"

@@ -170,5 +170,19 @@ def platform_info() -> str:
     return f"python {platform.python_version()} jax {jax.__version__} backend {jax.default_backend()} devices {jax.device_count()}"
 
 
+def select_device(device: str = "") -> None:
+    """Reference-CLI `--device` parity (reference utils/torch_utils.py:108
+    select_device), mapped onto JAX's backend model: JAX owns placement, so
+    ordinal strings ("0", "0,1") and "" keep the default accelerator backend,
+    while "cpu" PINS jax_platforms to cpu via config.update — which wins over
+    both the JAX_PLATFORMS env var and site hooks that force-register an
+    accelerator plugin. That pin is load-bearing operationally: with a
+    remote-TPU tunnel down, any backend touch otherwise blocks in the
+    plugin's reconnect loop. Call before the first backend initialization."""
+    if str(device).strip().lower() == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+
 def clean_str(s: str) -> str:
     return re.sub(pattern="[|@#!¡·$€%&()=?¿^*;:,¨´><+]", repl="_", string=s)
