@@ -61,7 +61,8 @@ def run(weights="", cfg="resnet50.yaml", img_dir="", json_dir="", imgsz=640,
         out = model.apply(variables, normalize_image(jnp.asarray(batch["image"])), train=False)
         pred = np.asarray(out.argmax(-1))
         for i in range(min(4, len(pred))):
-            panel = semantic_panel(batch["image"][i], batch["mask"][i], pred[i])
+            panel = semantic_panel(batch["image"][i], batch["mask"][i], pred[i],
+                                   names=CLASS_NAMES[:nc])
             cv2.imwrite(str(save_dir / f"panel_{i}.png"), panel[..., ::-1])
         LOGGER.info(f"panels saved to {save_dir}")
     return (miou, vloss, 0.0, 0.0), per_cls, t

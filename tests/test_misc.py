@@ -1,6 +1,8 @@
 """Tests for the smaller subsystems: AuxOTA head/config, parameterized
 activations, hyperparameter evolution, dataset tools, export formats."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -74,3 +76,57 @@ def test_export_formats_table():
     fmts = mod.export_formats()
     assert any(row[1] == "torchpt" for row in fmts)
     assert any(row[1] == "savedmodel" for row in fmts)
+
+
+def test_semantic_confusion_get_metrics():
+    """Accuracy/Class_Accuracy bundle mirrors reference test.py:436-464."""
+    from yolo_dual_tpu.metrics.seg import SegmentationConfusionMatrix
+    cm = SegmentationConfusionMatrix(3, ignore_index=None)
+    pred = np.array([0, 0, 1, 2, 2, 2])
+    gt = np.array([0, 1, 1, 2, 2, 0])
+    cm.update(pred, gt)
+    m = cm.get_metrics()
+    assert abs(m["Accuracy"] - 4 / 6) < 1e-9
+    # class 0: 2 gt pixels, 1 correct; class 1: 2 gt, 1 correct; class 2: 2 gt, 2 correct
+    np.testing.assert_allclose(m["Class_Accuracy"], [0.5, 0.5, 1.0])
+    assert 0.0 < m["mIoU"] < 1.0 and m["IoU"].shape == (3,)
+
+
+def test_legend_strip_and_panel_names():
+    from yolo_dual_tpu.utils.plots import legend_strip, semantic_panel
+    names = ["sky", "road", "car"]
+    strip = legend_strip(names, height=96, width=80)
+    assert strip.shape == (96, 80, 3) and strip.dtype == np.uint8
+    assert (strip != 255).any()  # something was drawn
+    img = np.zeros((96, 96, 3), np.uint8)
+    gt = np.zeros((96, 96), np.uint8)
+    panel = semantic_panel(img, gt, gt, names=names)
+    assert panel.shape == (96, 96 * 4 + 160, 3)  # 4 panels + default legend width
+
+
+def test_semantic_predict_cli(tmp_path, rng):
+    """semantic/predict.py end-to-end: masks + overlays + GT panels + metrics
+    (reference test.py:468+ equivalent)."""
+    import cv2
+    import importlib.util
+    img_dir = tmp_path / "imgs"
+    json_dir = tmp_path / "jsons"
+    img_dir.mkdir()
+    json_dir.mkdir()
+    from yolo_dual_tpu.data import mask_to_json
+    for i in range(2):
+        cv2.imwrite(str(img_dir / f"f{i}.png"),
+                    rng.uniform(0, 255, (48, 64, 3)).astype(np.uint8))
+        cv2.imwrite(str(tmp_path / f"m{i}.png"),
+                    rng.integers(0, 12, (48, 64)).astype(np.uint8))
+        mask_to_json(tmp_path / f"m{i}.png", json_dir / f"f{i}.json")
+    spec = importlib.util.spec_from_file_location(
+        "semantic_predict", Path(__file__).resolve().parents[1] / "semantic" / "predict.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    metrics, save_dir = mod.run(cfg="resnet18.yaml", source=str(img_dir), imgsz=64,
+                                gt_json_dir=str(json_dir), project=str(tmp_path / "runs"))
+    for stem in ("f0", "f1"):
+        for kind in ("mask", "overlay", "panel"):
+            assert (save_dir / f"{stem}_{kind}.png").exists()
+    assert set(metrics) == {"mIoU", "IoU", "Accuracy", "Class_Accuracy"}

@@ -200,5 +200,17 @@ class SegmentationConfusionMatrix:
     def pixel_accuracy(self):
         return np.diag(self.matrix).sum() / max(self.matrix.sum(), 1)
 
+    def class_accuracy(self):
+        """Per-class recall (diag / row-sum), reference test.py:455-458."""
+        row = self.matrix.sum(1).astype(np.float64)
+        return np.diag(self.matrix) / np.maximum(row, 1)
+
+    def get_metrics(self):
+        """Bundle mirroring reference test.py SegmentationMetrics.get_metrics
+        (test.py:436-464): mIoU, per-class IoU, pixel Accuracy, Class_Accuracy."""
+        miou, iou = self.compute_iou()
+        return {"mIoU": miou, "IoU": iou, "Accuracy": self.pixel_accuracy(),
+                "Class_Accuracy": self.class_accuracy()}
+
     def reset(self):
         self.matrix[:] = 0

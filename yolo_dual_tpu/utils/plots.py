@@ -77,16 +77,39 @@ def colorize_semantic(mask: np.ndarray, palette: np.ndarray = CAMVID_PALETTE) ->
     return palette[np.clip(mask, 0, len(palette) - 1)]
 
 
+def legend_strip(names, palette: np.ndarray = CAMVID_PALETTE, height: int = 640,
+                 width: int = 160) -> np.ndarray:
+    """Vertical class-color legend (reference test.py:121-130 create_legend):
+    one color swatch + class name per row, drawn with cv2 (no matplotlib)."""
+    import cv2
+    strip = np.full((height, width, 3), 255, np.uint8)
+    n = max(len(names), 1)
+    row_h = height // n
+    sw = max(min(row_h - 6, 24), 4)
+    for i, name in enumerate(names):
+        y0 = i * row_h + (row_h - sw) // 2
+        color = tuple(int(c) for c in palette[i % len(palette)])
+        cv2.rectangle(strip, (6, y0), (6 + sw, y0 + sw), color, -1)
+        cv2.putText(strip, str(name), (12 + sw, y0 + sw - max(sw // 4, 2)),
+                    cv2.FONT_HERSHEY_SIMPLEX, max(row_h / 80.0, 0.3), (0, 0, 0), 1,
+                    cv2.LINE_AA)
+    return strip
+
+
 def semantic_panel(image: np.ndarray, gt: np.ndarray, pred: np.ndarray,
-                   palette: np.ndarray = CAMVID_PALETTE) -> np.ndarray:
+                   palette: np.ndarray = CAMVID_PALETTE, names=None) -> np.ndarray:
     """4-panel [input | GT | pred | diff] composite
-    (reference seg_diceloss_Resnet50.py:851-872 / val_diceloss.py:122-143)."""
+    (reference seg_diceloss_Resnet50.py:851-872 / val_diceloss.py:122-143);
+    `names` appends a class-color legend strip (reference test.py:104,121-130)."""
     img = (image * 255).astype(np.uint8) if image.dtype != np.uint8 else image
     gt_rgb = colorize_semantic(gt, palette)
     pred_rgb = colorize_semantic(pred, palette)
     diff = np.where((gt != pred)[..., None], np.array([255, 0, 0], np.uint8),
                     np.array([0, 255, 0], np.uint8))
-    return np.concatenate([img, gt_rgb, pred_rgb, diff], axis=1)
+    panels = [img, gt_rgb, pred_rgb, diff]
+    if names is not None:
+        panels.append(legend_strip(names, palette, height=img.shape[0]))
+    return np.concatenate(panels, axis=1)
 
 
 def plot_pr_curve(px, py, ap, save_dir="pr_curve.png", names=()):
