@@ -78,7 +78,29 @@ def train(opt):
             resume_ckpt = save_dir / "last"
     else:
         save_dir = increment_path(Path(opt.project) / opt.name, exist_ok=opt.exist_ok, mkdir=True)
-    hyp = yaml_load(find_cfg(opt.hyp, "hyps"))
+    if resume_ckpt is not None:
+        # reference smart-resume reinstates the RUN's opt.yaml/hyp.yaml
+        # (reference segment/train.py:648-660): the current invocation's flag
+        # DEFAULTS must not silently replace the interrupted run's settings.
+        # Divergence from the reference (which discards the new argv wholesale):
+        # flags the user explicitly typed win over the restored values, so
+        # `--resume --epochs 300` extends a run.
+        explicit = set(getattr(opt, "explicit", []) or [])
+        opt_yaml = save_dir / "opt.yaml"
+        if opt_yaml.exists():
+            saved_opt = yaml_load(opt_yaml)
+            for k, v in saved_opt.items():
+                if (k not in ("resume", "device", "workers", "project", "name",
+                              "exist_ok", "explicit")
+                        and k not in explicit and hasattr(opt, k)):
+                    setattr(opt, k, v)
+        hyp_yaml = save_dir / "hyp.yaml"
+        if hyp_yaml.exists() and "hyp" not in explicit:
+            hyp = yaml_load(hyp_yaml)
+        else:
+            hyp = yaml_load(find_cfg(opt.hyp, "hyps"))
+    else:
+        hyp = yaml_load(find_cfg(opt.hyp, "hyps"))
     data = check_dataset(find_cfg(opt.data, "data"))
     yaml_save(save_dir / "hyp.yaml", hyp)
     yaml_save(save_dir / "opt.yaml", vars(opt))
@@ -248,7 +270,13 @@ def parse_opt(argv=None):
                    help="extra sinks: wandb clearml comet (no-ops if not installed)")
     p.add_argument("--device", default="", help="accepted for reference-CLI parity (JAX selects devices)")
     p.add_argument("--workers", type=int, default=0, help="accepted for parity (thread prefetch is used)")
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    # record which flags the user actually typed: on --resume, flags NOT
+    # explicitly passed are restored from the run's opt.yaml (see train())
+    tokens = {t.split("=", 1)[0] for t in (argv if argv is not None else sys.argv[1:])}
+    args.explicit = sorted(a.dest for a in p._actions
+                           if any(s in tokens for s in a.option_strings))
+    return args
 
 
 def evolve(opt):

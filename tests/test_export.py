@@ -65,6 +65,14 @@ def test_tflite_float_and_int8_roundtrip(tmp_path):
     assert pred_fl.shape == pred_jax.shape
     np.testing.assert_allclose(pred_fl, pred_jax, rtol=1e-3, atol=1e-3)
 
+    # MultiBackend must return (pred, protos) in that order off the .tflite
+    from yolo_dual_tpu.io.multibackend import MultiBackend
+    mb = MultiBackend(tmp_path / "m.tflite")
+    mb_pred, mb_protos = mb(x)
+    assert mb_pred.ndim == 3 and mb_pred.shape == pred_jax.shape
+    assert mb_protos is not None and mb_protos.ndim == 4
+    np.testing.assert_allclose(mb_pred, pred_jax, rtol=1e-3, atol=1e-3)
+
     q = export_tflite(sm, tmp_path / "m_int8.tflite", int8=True, imgsz=64,
                       rep_images=[x[0]] * 4)
     pred_q = _tflite_pred(q, x)

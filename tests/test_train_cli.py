@@ -86,9 +86,16 @@ def test_train_then_bare_resume(tmp_path):
     csv1 = (run_dir / "results.csv").read_text().strip().splitlines()
     assert len(csv1) == 3  # header + 2 epochs
 
-    # bare --resume: must reuse runs/exp (NOT allocate exp2) and append
-    opt2 = seg_train.parse_opt(common + ["--epochs", "4", "--resume"])
+    # bare --resume WITHOUT --cfg/--data/--hyp/--imgsz: the run's opt.yaml
+    # must supply them (advisor r2: defaults silently replaced the run's
+    # settings); explicitly-typed --epochs extends the run
+    opt2 = seg_train.parse_opt(["--project", str(tmp_path / "runs"), "--name", "exp",
+                                "--epochs", "4", "--resume"])
     seg_train.train(opt2)
+    assert opt2.cfg == str(cfg) and opt2.data == str(data_yaml), \
+        "resume did not restore cfg/data from the run's opt.yaml"
+    assert opt2.imgsz == 64 and opt2.batch_size == 4
+    assert opt2.epochs == 4, "explicit --epochs was overridden by restored opt"
     assert not (tmp_path / "runs" / "exp2").exists(), "bare --resume created a new run dir"
     csv2 = (run_dir / "results.csv").read_text().strip().splitlines()
     assert csv2[:3] == csv1, "resume truncated prior history"

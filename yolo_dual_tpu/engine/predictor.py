@@ -41,8 +41,8 @@ def iter_source(source, vid_stride: int = 1,
         try:
             n = 0
             for paths, frames in streams:
-                for p, im in zip(paths, frames):
-                    yield str(p), im, float(streams.fps[0])
+                for si, (p, im) in enumerate(zip(paths, frames)):
+                    yield str(p), im, float(streams.fps[si])
                 n += 1
                 if max_frames is not None and n >= max_frames:
                     break

@@ -68,10 +68,13 @@ class Ensemble:
                       else sum(preds) / len(preds))
             return merged, protos
 
-        self._fwd = jax.jit(lambda x: fwd(self.variables_list, x))
+        # variables passed as a jit ARGUMENT, not a closure: closed-over
+        # weights would be baked into the executable as XLA constants
+        # (~2x weight HBM + constant-folding compile cost)
+        self._fwd = jax.jit(fwd)
 
     def __call__(self, x):
-        return self._fwd(jnp.asarray(x))
+        return self._fwd(self.variables_list, jnp.asarray(x))
 
     forward = __call__
 

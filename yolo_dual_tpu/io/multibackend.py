@@ -105,11 +105,11 @@ class MultiBackend:
             interp.set_tensor(self._tfl_in[0]["index"], x)
             interp.invoke()
             outs = [interp.get_tensor(d["index"]) for d in self._tfl_out]
-            # export.py emits (pred, protos) in declaration order; larger
-            # trailing dim identifies pred rows (5+nc+nm)
+            # export.py emits pred (b, N, 5+nc+nm) ndim=3 and, for segment
+            # models, protos (b, mh, mw, nm) ndim=4 — identify by rank
             outs.sort(key=lambda o: o.ndim)
             if len(outs) >= 2:
-                return outs[-1], outs[0]
+                return outs[0], outs[1]
             return outs[0], None
         if self.kind == "torchscript":
             import torch

@@ -191,14 +191,19 @@ def run_wandb_sweep(train_fn: Callable[[dict], float], count: int = 10,
     `train_fn(hyp)` trains once and returns/logs fitness. Requires wandb."""
     import wandb  # gated: raises ImportError when absent
 
+    sweep_cfg = wandb_sweep_config(**cfg_kw)
+    objective_name = sweep_cfg["metric"]["name"]
+
     def agent_fn():
         with wandb.init() as run:
             hyp = dict(run.config)
             hyp.pop("data", None), hyp.pop("epochs", None), hyp.pop("batch_size", None)
             fitness = train_fn(hyp)
-            run.log({"fitness": fitness})
+            # log under the sweep's configured objective name (so wandb's
+            # best-run ranking / bayes method see it), plus plain "fitness"
+            run.log({objective_name: fitness, "fitness": fitness})
 
-    sweep_id = wandb.sweep(wandb_sweep_config(**cfg_kw), project=project)
+    sweep_id = wandb.sweep(sweep_cfg, project=project)
     wandb.agent(sweep_id, function=agent_fn, count=count)
     return sweep_id
 
