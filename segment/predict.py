@@ -29,9 +29,15 @@ def run(weights="", cfg="yolov5s-seg.yaml", source="data/images", imgsz=640,
         name="exp", save_txt=False, nosave=False, line_thickness=3,
         hide_labels=False, hide_conf=False, soft_nms=False, nc=80, data=None,
         augment=False, vid_stride=1, max_frames=None, view_img=False,
-        fuse=True, save_crop=False, device="", **kw):
+        fuse=True, save_crop=False, device="", save_conf=False, exist_ok=False,
+        visualize=False, update=False, half=False, **kw):
     from yolo_dual_tpu.utils.general import select_device
     select_device(device)
+    if update and weights and not str(weights).endswith(".pt"):
+        # reference --update: strip optimizer state from the weights file
+        # (predict.py:266 → strip_optimizer)
+        from yolo_dual_tpu.train.checkpoint import strip_optimizer
+        strip_optimizer(weights)
     imgsz = check_img_size(imgsz, 32)
     if data:
         from yolo_dual_tpu.utils.general import check_dataset
@@ -50,7 +56,8 @@ def run(weights="", cfg="yolov5s-seg.yaml", source="data/images", imgsz=640,
         names=names, line_thickness=line_thickness, hide_labels=hide_labels,
         hide_conf=hide_conf, use_soft_nms=soft_nms, augment=augment,
         vid_stride=vid_stride, max_frames=max_frames, view_img=view_img, fuse=fuse,
-        save_crop=save_crop)
+        save_crop=save_crop, save_conf=save_conf, exist_ok=exist_ok,
+        visualize=visualize)
 
 
 def parse_opt(argv=None):
@@ -59,7 +66,7 @@ def parse_opt(argv=None):
     p.add_argument("--cfg", type=str, default="yolov5s-seg.yaml")
     p.add_argument("--source", type=str, default=str(ROOT / "data" / "images"))
     p.add_argument("--data", type=str, default=None, help="dataset yaml for class names")
-    p.add_argument("--imgsz", "--img-size", type=int, default=640)
+    p.add_argument("--imgsz", "--img", "--img-size", type=int, default=640)
     p.add_argument("--conf-thres", type=float, default=0.25)
     p.add_argument("--iou-thres", type=float, default=0.45)
     p.add_argument("--max-det", type=int, default=300)
@@ -69,6 +76,12 @@ def parse_opt(argv=None):
     p.add_argument("--project", default=str(ROOT / "runs" / "predict-seg"))
     p.add_argument("--name", default="exp")
     p.add_argument("--save-txt", action="store_true")
+    p.add_argument("--save-conf", action="store_true", help="include confidence in txt rows")
+    p.add_argument("--exist-ok", action="store_true")
+    p.add_argument("--visualize", action="store_true", help="save per-layer feature maps for the first frame")
+    p.add_argument("--update", action="store_true", help="strip optimizer from --weights")
+    p.add_argument("--half", action="store_true", help="accepted for parity (fused path runs bf16 on TPU)")
+    p.add_argument("--dnn", action="store_true", help="accepted for parity (OpenCV-DNN N/A)")
     p.add_argument("--nosave", action="store_true")
     p.add_argument("--line-thickness", type=int, default=3)
     p.add_argument("--hide-labels", action="store_true")

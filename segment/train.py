@@ -122,10 +122,22 @@ def train(opt):
     model.names = data.get("names", model.names)
     model.hyp = hyp
 
+    if opt.label_smoothing:
+        hyp["label_smoothing"] = opt.label_smoothing
     train_loader, dataset = create_dataloader(
         data["train"], imgsz, opt.batch_size, hyp=hyp, augment=True, shuffle=True,
         mask_downsample_ratio=opt.mask_ratio, overlap_mask=not opt.no_overlap,
-        task="segment", seed=opt.seed, prefix=colorstr("train: "), single_cls=opt.single_cls)
+        task="segment", seed=opt.seed, prefix=colorstr("train: "), single_cls=opt.single_cls,
+        rect=opt.rect, cache_images=opt.cache)
+    if opt.quad:
+        # the reference's seg collate_fn4 resolves to the DETECTION quad
+        # collate (drops masks) — unusable for segment training there too;
+        # accepted for CLI parity, ignored with a note
+        LOGGER.info("--quad: quad collate is detection-only (matches the "
+                    "reference's broken seg quad path); ignored for segment")
+    if opt.sync_bn:
+        LOGGER.info("--sync-bn: batch stats over a mesh-sharded batch are "
+                    "globally reduced under jit — SyncBN is implicit")
     val_loader, _ = create_dataloader(
         data["val"], imgsz, opt.batch_size, hyp=hyp, augment=False,
         mask_downsample_ratio=opt.mask_ratio, overlap_mask=not opt.no_overlap,
@@ -140,6 +152,9 @@ def train(opt):
     tx = smart_optimizer(variables["params"], opt.optimizer, hyp, epochs=opt.epochs,
                          steps_per_epoch=nb, cos_lr=opt.cos_lr, accumulate=accumulate,
                          total_batch_size=opt.batch_size)
+    if opt.freeze and (len(opt.freeze) > 1 or opt.freeze[0] > 0):
+        from yolo_dual_tpu.train import freeze_layers
+        tx = freeze_layers(tx, variables["params"], opt.freeze)
     mesh = None
     if opt.data_parallel and jax.device_count() > 1:
         from yolo_dual_tpu.parallel import make_mesh
@@ -189,7 +204,20 @@ def train(opt):
     LOGGER.info(f"Training {opt.cfg} on {data.get('train')} for {opt.epochs} epochs "
                 f"(batch {opt.batch_size}, imgsz {imgsz}, accumulate {accumulate})...")
     t0 = time.time()
+    if opt.image_weights:
+        from yolo_dual_tpu.utils.general import (labels_to_class_weights,
+                                                 labels_to_image_weights)
+        class_weights = labels_to_class_weights(dataset.labels, int(data["nc"]))
+    maps = np.zeros(int(data["nc"]))
+    mean = np.zeros(8)
     for epoch in range(start_epoch, opt.epochs):
+        final_epoch = epoch == opt.epochs - 1
+        if opt.image_weights:
+            # bias sampling toward rare / low-mAP classes
+            # (reference segment/train.py:496-500)
+            cw = class_weights * (1 - maps) ** 2 / int(data["nc"])
+            train_loader.sample_weights = labels_to_image_weights(
+                dataset.labels, int(data["nc"]), cw)
         train_loader.set_epoch(epoch)
         mloss = np.zeros(4)
         for i, batch in enumerate(train_loader):
@@ -201,9 +229,11 @@ def train(opt):
             mloss = (mloss * i + np.asarray(metrics["items"])) / (i + 1)
         variables_eval = state.ema["ema"] if state.ema is not None else \
             {"params": state.params, "batch_stats": state.batch_stats}
-        mean, maps, _ = evaluate_segment(model, variables_eval, val_loader, int(data["nc"]),
-                                         nm=nm, mask_ratio=opt.mask_ratio,
-                                         names=data.get("names"))
+        if not opt.noval or final_epoch:  # --noval: validate final epoch only
+            mean, maps, _ = evaluate_segment(model, variables_eval, val_loader,
+                                             int(data["nc"]), nm=nm,
+                                             mask_ratio=opt.mask_ratio,
+                                             names=data.get("names"))
         fi = fitness_seg(np.asarray(mean))
         LOGGER.info(f"epoch {epoch}: loss {mloss.round(4)} fitness {fi:.4f} "
                     f"({(time.time() - t0) / (epoch + 1):.1f}s/epoch)")
@@ -217,22 +247,25 @@ def train(opt):
             "metrics/precision(M)": mean[4], "metrics/recall(M)": mean[5],
             "metrics/mAP_0.5(M)": mean[6], "metrics/mAP_0.5:0.95(M)": mean[7],
             "fitness": fi}, epoch)
-        ckpt = {"variables": {"params": state.params, "batch_stats": state.batch_stats},
-                "ema": state.ema, "epoch": epoch, "best_fitness": float(max(fi, best_fitness)),
-                "opt_state": None if opt.nosave_optimizer else state.opt_state}
-        save_checkpoint(save_dir / "last", ckpt)
-        loggers.on_model_save(save_dir / "last", epoch, best_fitness, fi)
-        if fi >= best_fitness:
-            best_fitness = fi
-            save_checkpoint(save_dir / "best", ckpt)
+        if not opt.nosave or final_epoch:  # --nosave: checkpoint final epoch only
+            ckpt = {"variables": {"params": state.params, "batch_stats": state.batch_stats},
+                    "ema": state.ema, "epoch": epoch, "best_fitness": float(max(fi, best_fitness)),
+                    "opt_state": None if opt.nosave_optimizer else state.opt_state}
+            save_checkpoint(save_dir / "last", ckpt)
+            loggers.on_model_save(save_dir / "last", epoch, best_fitness, fi)
+            if fi >= best_fitness:
+                save_checkpoint(save_dir / "best", ckpt)
+        best_fitness = max(best_fitness, fi)
         if stopper(epoch, fi):
             break
-    strip_optimizer(save_dir / "best")
-    try:
-        from yolo_dual_tpu.utils.plots import plot_results
-        plot_results(csv_path, save_dir)
-    except Exception as e:
-        LOGGER.info(f"results plot skipped: {e}")
+    if (save_dir / "best").exists():
+        strip_optimizer(save_dir / "best")
+    if not opt.noplots:
+        try:
+            from yolo_dual_tpu.utils.plots import plot_results
+            plot_results(csv_path, save_dir)
+        except Exception as e:
+            LOGGER.info(f"results plot skipped: {e}")
     loggers.on_train_end(save_dir / "results.png")
     LOGGER.info(f"Done in {(time.time() - t0) / 3600:.2f}h; results in {save_dir}")
     return best_fitness
@@ -247,7 +280,22 @@ def parse_opt(argv=None):
     p.add_argument("--hyp", type=str, default="hyp.scratch-low.yaml", help="hyperparameters")
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--batch-size", type=int, default=16)
-    p.add_argument("--imgsz", "--img-size", type=int, default=640)
+    p.add_argument("--imgsz", "--img", "--img-size", type=int, default=640)
+    p.add_argument("--rect", action="store_true",
+                   help="aspect-bucket batching (rect analog; static shapes)")
+    p.add_argument("--cache", type=str, default=False, nargs="?", const="ram",
+                   help="image cache: ram or disk")
+    p.add_argument("--quad", action="store_true", help="quad collate (detection-only)")
+    p.add_argument("--image-weights", action="store_true",
+                   help="weighted image resampling by class rarity x (1-mAP)^2")
+    p.add_argument("--freeze", nargs="+", type=int, default=[0],
+                   help="freeze layers: single N = layers 0..N-1, list = those indices")
+    p.add_argument("--label-smoothing", type=float, default=0.0)
+    p.add_argument("--sync-bn", action="store_true",
+                   help="accepted for parity (SyncBN is implicit under a sharded mesh)")
+    p.add_argument("--noval", action="store_true", help="validate final epoch only")
+    p.add_argument("--nosave", action="store_true", help="checkpoint final epoch only")
+    p.add_argument("--noplots", action="store_true", help="skip results plots")
     p.add_argument("--optimizer", choices=["SGD", "Adam", "AdamW"], default="SGD")
     p.add_argument("--cos-lr", action="store_true")
     p.add_argument("--single-cls", action="store_true")

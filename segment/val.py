@@ -59,10 +59,17 @@ def load_model_and_weights(weights, cfg, nc, imgsz):
 def run(data="coco128-seg.yaml", weights="", cfg="yolov5s-seg.yaml", batch_size=16,
         imgsz=640, conf_thres=0.001, iou_thres=0.6, max_det=300, task="val",
         single_cls=False, verbose=False, soft_nms=False, mask_ratio=4, plots=False,
-        save_dir=".", augment=False, save_json=False, rect=False, cache=False,
-        fuse=True, device="", **kw):
-    from yolo_dual_tpu.utils.general import select_device
+        save_dir=None, augment=False, save_json=False, rect=False, cache=False,
+        fuse=True, device="", save_txt=False, save_conf=False, save_hybrid=False,
+        project="runs/val-seg", name="exp", exist_ok=False, **kw):
+    from yolo_dual_tpu.utils.general import increment_path, select_device
     select_device(device)
+    if save_dir is None:
+        if save_txt or save_json or plots:
+            save_dir = str(increment_path(Path(project) / name, exist_ok=exist_ok,
+                                          mkdir=True))
+        else:
+            save_dir = "."
     data = check_dataset(find_cfg(data, "data"))
     imgsz = check_img_size(imgsz, 32)
     nc = 1 if single_cls else int(data["nc"])
@@ -90,7 +97,10 @@ def run(data="coco128-seg.yaml", weights="", cfg="yolov5s-seg.yaml", batch_size=
                                      use_soft_nms=soft_nms, verbose=verbose,
                                      augment=augment, save_json=save_json,
                                      anno_json=anno_json, class_map=class_map,
-                                     fuse=fuse)
+                                     fuse=fuse, save_txt=save_txt,
+                                     save_conf=save_conf, save_hybrid=save_hybrid)
+    if save_txt:
+        LOGGER.info(f"labels saved to {Path(save_dir) / 'labels'}")
     return mean, maps, t
 
 
@@ -100,7 +110,15 @@ def parse_opt(argv=None):
     p.add_argument("--weights", type=str, default="")
     p.add_argument("--cfg", type=str, default="yolov5s-seg.yaml")
     p.add_argument("--batch-size", type=int, default=16)
-    p.add_argument("--imgsz", "--img-size", type=int, default=640)
+    p.add_argument("--imgsz", "--img", "--img-size", type=int, default=640)
+    p.add_argument("--save-txt", action="store_true", help="save results to labels/*.txt")
+    p.add_argument("--save-conf", action="store_true", help="include confidence in txt rows")
+    p.add_argument("--save-hybrid", action="store_true",
+                   help="also write GT rows at conf 1.0 (autolabelling artifact)")
+    p.add_argument("--project", default=str(ROOT / "runs" / "val-seg"))
+    p.add_argument("--name", default="exp")
+    p.add_argument("--exist-ok", action="store_true")
+    p.add_argument("--dnn", action="store_true", help="accepted for parity (OpenCV-DNN N/A)")
     p.add_argument("--conf-thres", type=float, default=0.001)
     p.add_argument("--iou-thres", type=float, default=0.6)
     p.add_argument("--max-det", type=int, default=300)

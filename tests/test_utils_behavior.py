@@ -171,3 +171,93 @@ def test_select_device_cpu_pins_platform():
     select_device("CPU")
     assert jax.config.jax_platforms == "cpu"
     assert jax.devices()[0].platform == "cpu"
+
+
+def test_labels_to_weights_vs_reference():
+    """labels_to_class_weights / labels_to_image_weights oracle parity
+    (reference utils/general.py:714-738)."""
+    import sys
+    ref = Path("/root/reference")
+    if not ref.exists():
+        pytest.skip("reference checkout unavailable")
+    if str(ref) not in sys.path:
+        sys.path.insert(0, str(ref))
+    from yolo_dual_tpu.utils.general import (labels_to_class_weights,
+                                             labels_to_image_weights)
+    rng = np.random.default_rng(3)
+    nc = 5
+    labels = [np.column_stack([rng.integers(0, nc, k), rng.uniform(0, 1, (k, 4))])
+              .astype(np.float32) for k in (3, 0, 7, 1)]
+    # hand-evaluated reference formulas (utils/general.py:714-738); the
+    # reference module itself needs pkg_resources, absent from this image
+    counts = np.bincount(np.concatenate([l[:, 0] for l in labels]).astype(int),
+                         minlength=nc).astype(np.float64)
+    counts[counts == 0] = 1
+    exp_cw = (1 / counts) / (1 / counts).sum()
+    ours_cw = labels_to_class_weights(labels, nc)
+    np.testing.assert_allclose(ours_cw, exp_cw, rtol=1e-6)
+    per_img = np.stack([np.bincount(l[:, 0].astype(int), minlength=nc)
+                        if len(l) else np.zeros(nc) for l in labels])
+    exp_iw = (exp_cw.reshape(1, nc) * per_img).sum(1)
+    ours_iw = labels_to_image_weights(labels, nc, ours_cw)
+    np.testing.assert_allclose(ours_iw, exp_iw, rtol=1e-6)
+
+
+def test_freeze_layers_blocks_updates():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from yolo_dual_tpu.train import freeze_layers, smart_optimizer
+    params = {"model_0": {"conv": {"kernel": jnp.ones((3, 3, 2, 4))}},
+              "model_1": {"conv": {"kernel": jnp.ones((1, 1, 4, 4))}},
+              "model_2": {"bn": {"scale": jnp.ones((4,))}}}
+    hyp = dict(lr0=0.1, lrf=0.1, momentum=0.9, weight_decay=1e-2, warmup_epochs=0.0)
+    tx = freeze_layers(smart_optimizer(params, "SGD", hyp), params, [2])  # freeze 0,1
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    # two steps: the lr schedule warms from 0 at step 0 (reference warmup)
+    updates, state = tx.update(grads, state, params)
+    updates, _ = tx.update(grads, state, params)
+    new = optax.apply_updates(params, updates)
+    assert np.allclose(new["model_0"]["conv"]["kernel"], 1.0)
+    assert np.allclose(new["model_1"]["conv"]["kernel"], 1.0)
+    assert not np.allclose(new["model_2"]["bn"]["scale"], 1.0)
+
+    # explicit index list freezes exactly those layers
+    tx2 = freeze_layers(smart_optimizer(params, "SGD", hyp), params, [0, 2])
+    st2 = tx2.init(params)
+    updates2, st2 = tx2.update(grads, st2, params)
+    updates2, _ = tx2.update(grads, st2, params)
+    new2 = optax.apply_updates(params, updates2)
+    assert np.allclose(new2["model_0"]["conv"]["kernel"], 1.0)
+    assert not np.allclose(new2["model_1"]["conv"]["kernel"], 1.0)
+    assert np.allclose(new2["model_2"]["bn"]["scale"], 1.0)
+
+
+def test_loader_sample_weights_resampling():
+    from yolo_dual_tpu.data.loader import Loader
+
+    class DS:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return {"x": np.float32(i)}
+
+    loader = Loader(DS(), batch_size=5, shuffle=True, seed=0,
+                    num_shards=1, shard_index=0)
+    # heavily weight index 7
+    w = np.ones(10)
+    w[7] = 1e6
+    loader.sample_weights = w
+    loader.set_epoch(0)
+    idx = loader._indices()
+    assert len(idx) == 10
+    assert sum(1 for i in idx if i == 7) >= 8  # resampled with replacement
+    # deterministic per epoch
+    assert idx == loader._indices()
+    loader.set_epoch(1)
+    assert idx != loader._indices() or True  # different epoch may differ
+    loader.sample_weights = None
+    assert sorted(loader._indices()) == list(range(10))

@@ -47,14 +47,23 @@ class Loader:
         # reference's collate_fn4 quad batching, utils/dataloaders.py); may
         # change the number of samples per batch (e.g. 4 -> 1 at 2x size)
         self.collate = collate
+        # optional per-sample weights: when set (and shuffling), each epoch
+        # draws len(dataset) indices WITH replacement ∝ weights — the
+        # reference's --image-weights resampling (segment/train.py:496-500)
+        self.sample_weights = None
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
 
     def _indices(self):
-        idx = list(range(len(self.dataset)))
-        if self.shuffle:
-            random.Random(self.seed + self.epoch).shuffle(idx)
+        n = len(self.dataset)
+        if self.sample_weights is not None and self.shuffle:
+            idx = random.Random(self.seed + self.epoch).choices(
+                range(n), weights=list(self.sample_weights), k=n)
+        else:
+            idx = list(range(n))
+            if self.shuffle:
+                random.Random(self.seed + self.epoch).shuffle(idx)
         idx = idx[self.shard_index::self.num_shards]
         return idx
 

@@ -98,7 +98,9 @@ def predict_images(model, variables, source, imgsz: int = 640, conf_thres: float
                    use_soft_nms: bool = False, augment: bool = False,
                    vid_stride: int = 1, max_frames: Optional[int] = None,
                    view_img: bool = False, fuse: bool = True,
-                   save_crop: bool = False, device_preprocess: Optional[bool] = None):
+                   save_crop: bool = False, device_preprocess: Optional[bool] = None,
+                   save_conf: bool = False, exist_ok: bool = False,
+                   visualize: bool = False):
     """Run streaming prediction. Returns list of per-image detection arrays.
 
     device_preprocess: letterbox+normalize on device via the Pallas fused
@@ -107,7 +109,7 @@ def predict_images(model, variables, source, imgsz: int = 640, conf_thres: float
     import cv2
     if device_preprocess is None:
         device_preprocess = jax.default_backend() == "tpu"
-    save_dir = increment_path(Path(save_dir), mkdir=True)
+    save_dir = increment_path(Path(save_dir), exist_ok=exist_ok, mkdir=True)
     names = names or {i: str(i) for i in range(model.nc)}
     if fuse:
         # conv+BN weight folding (reference predict.py attempt_load → fuse())
@@ -161,6 +163,22 @@ def predict_images(model, variables, source, imgsz: int = 640, conf_thres: float
                 batch = jnp.asarray(im[None])
         with dt[1]:
             out, n_valid, protos = jax.block_until_ready(forward(variables, batch))
+        if visualize:
+            # per-layer feature-map panels for the FIRST frame (reference
+            # predict.py --visualize → utils/plots.py feature_visualization)
+            visualize = False
+            from yolo_dual_tpu.utils.plots import feature_visualization
+            _, inter = model.module.apply(
+                variables, normalize_image(batch), train=False,
+                capture_intermediates=lambda mdl, meth: meth == "__call__",
+                mutable=["intermediates"])
+            feats = inter["intermediates"]
+            for lname in sorted((k for k in feats if k.startswith("model_")),
+                                key=lambda k: int(k.split("_")[1])):
+                outv = feats[lname]["__call__"][0]
+                if hasattr(outv, "ndim"):
+                    feature_visualization(outv, lname, int(lname.split("_")[1]),
+                                          save_dir=Path(save_dir) / "features")
         with dt[2]:
             n = int(np.asarray(n_valid)[0])
             dets = np.asarray(out)[0, :n]
@@ -185,11 +203,19 @@ def predict_images(model, variables, source, imgsz: int = 640, conf_thres: float
                                      file=Path(save_dir) / "crops" / names[int(cls)]
                                      / f"{Path(path).stem}.jpg", BGR=False)
                 if save_txt:
+                    # normalized xywh rows, conf only with --save-conf
+                    # (reference segment/predict.py:160-165 save_one_txt format)
                     txt = Path(save_dir) / "labels" / (Path(path).stem + ".txt")
                     txt.parent.mkdir(parents=True, exist_ok=True)
+                    h0, w0 = im0.shape[:2]
                     with open(txt, "a") as f:
                         for box, conf, cls in zip(boxes_native, dets[:, 4], dets[:, 5]):
-                            f.write(f"{int(cls)} " + " ".join(f"{v:.2f}" for v in box) + f" {conf:.4f}\n")
+                            x1, y1, x2, y2 = box
+                            row = [int(cls), (x1 + x2) / 2 / w0, (y1 + y2) / 2 / h0,
+                                   (x2 - x1) / w0, (y2 - y1) / h0]
+                            if save_conf:
+                                row.append(float(conf))
+                            f.write(" ".join(f"{v:g}" for v in row) + "\n")
             if save_img:
                 frame_bgr = annotator.result()[..., ::-1]
                 if fps is not None:

@@ -30,7 +30,9 @@ def evaluate_segment(model, variables, loader, nc: int, conf_thres: float = 0.00
                      save_dir: str = ".", use_soft_nms: bool = False,
                      compute_loss=None, verbose: bool = False,
                      augment: bool = False, save_json: bool = False,
-                     anno_json=None, class_map=None, fuse: bool = True):
+                     anno_json=None, class_map=None, fuse: bool = True,
+                     save_txt: bool = False, save_conf: bool = False,
+                     save_hybrid: bool = False):
     """Returns ((mp,mr,map50,map)*box+(…)*mask, per-class maps, times_ms)."""
     can_raw = hasattr(model, "spec") and model.spec.layers[-1].name == "Segment"
     if fuse and hasattr(model, "fuse"):
@@ -136,6 +138,47 @@ def evaluate_segment(model, variables, loader, nc: int, conf_thres: float = 0.00
                 tm = batch["tmask"][si].astype(bool)
                 gt_cls = t[tm][:, 0]
                 stats.append((cb_np[si, :n], cm_np[si, :n], dets[:, 4], dets[:, 5], gt_cls))
+                if save_txt and im_files is not None and "index" in batch:
+                    # normalized-xywh label export (reference save_one_txt,
+                    # segment/val.py:49-56); --save-hybrid also writes GT rows
+                    # at conf 1.0 (the reference's autolabelling artifact,
+                    # produced here at write time rather than by injecting GT
+                    # into NMS)
+                    from pathlib import Path as _P
+
+                    from yolo_dual_tpu.ops import scale_boxes, xyxy2xywh
+                    path = _P(im_files[int(batch["index"][si])])
+                    shape0 = tuple(int(v) for v in batch["shape0"][si])
+                    lines = []
+                    if n:
+                        boxes0 = np.asarray(scale_boxes((h, w), jnp.asarray(dets[:, :4]),
+                                                        shape0))
+                        xywhn = np.array(xyxy2xywh(jnp.asarray(boxes0)))
+                        xywhn[:, [0, 2]] /= shape0[1]
+                        xywhn[:, [1, 3]] /= shape0[0]
+                        for k in range(n):
+                            row = [int(dets[k, 5]), *xywhn[k]]
+                            if save_conf:
+                                row.append(float(dets[k, 4]))
+                            lines.append(" ".join(f"{v:g}" for v in row))
+                    gt_rows = np.asarray(t[tm])
+                    if save_hybrid and len(gt_rows):
+                        # GT xywh is normalized to the letterboxed frame;
+                        # re-express in original-image space like the preds
+                        gxy = gt_rows[:, 1:5] * np.array([w, h, w, h], np.float32)
+                        gxyxy = np.asarray(xywh2xyxy(jnp.asarray(gxy)))
+                        g0 = np.asarray(scale_boxes((h, w), jnp.asarray(gxyxy), shape0))
+                        gwh = np.array(xyxy2xywh(jnp.asarray(g0)))
+                        gwh[:, [0, 2]] /= shape0[1]
+                        gwh[:, [1, 3]] /= shape0[0]
+                        for gc, gb in zip(gt_rows[:, 0], gwh):
+                            row = [int(gc), *gb]
+                            if save_conf:
+                                row.append(1.0)
+                            lines.append(" ".join(f"{v:g}" for v in row))
+                    lbl_dir = _P(save_dir) / "labels"
+                    lbl_dir.mkdir(parents=True, exist_ok=True)
+                    (lbl_dir / f"{path.stem}.txt").write_text("\n".join(lines) + ("\n" if lines else ""))
                 if save_json and n and im_files is not None and "index" in batch:
                     # COCO-RLE export (reference segment/val.py:57-88,318-323)
                     import cv2

@@ -256,3 +256,35 @@ def _fused_smart_optimizer(params, name, hyp, decay, epochs, steps_per_epoch,
                 f"{len(param_leaves)} leaves ({wd_mask.size} elements; "
                 f"{n0} decayed leaves, decay={decay:.5g})")
     return tx
+
+
+def freeze_layers(tx: optax.GradientTransformation, params,
+                  freeze) -> optax.GradientTransformation:
+    """Zero the UPDATES of frozen graph layers (reference --freeze,
+    segment/train.py:429-431: requires_grad=False by 'backbone.{i}.' prefix).
+
+    `freeze`: a single-element list [N] freezes layers 0..N-1; a longer list
+    freezes exactly those layer indices (reference flag semantics). Params are
+    keyed `model_{i}` at the tree root. Zeroing updates (not grads) keeps
+    weight decay from shrinking frozen weights."""
+    import jax
+    frozen = set(freeze if len(freeze) > 1 else range(freeze[0]))
+    if not frozen:
+        return tx
+
+    def is_frozen(path, _):
+        top = getattr(path[0], "key", str(path[0]))
+        return top.startswith("model_") and int(top.rsplit("_", 1)[1]) in frozen
+
+    mask = jax.tree_util.tree_map_with_path(is_frozen, params)
+    n = sum(jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda m: int(m), mask)))
+    LOGGER.info(f"freezing {sorted(frozen)} -> {n} frozen param leaves")
+
+    def update_fn(grads, state, params=None):
+        updates, state = tx.update(grads, state, params)
+        updates = jax.tree_util.tree_map(
+            lambda u, m: jnp.zeros_like(u) if m else u, updates, mask)
+        return updates, state
+
+    return optax.GradientTransformation(tx.init, update_fn)

@@ -157,6 +157,28 @@ def check_dataset(data, autodownload: bool = False) -> dict:
     return data
 
 
+def labels_to_class_weights(labels, nc: int = 80) -> np.ndarray:
+    """Inverse-frequency class weights from training labels (each element an
+    (n, 5+) array of [cls, xywh...]); reference utils/general.py:714-731."""
+    if len(labels) == 0 or labels[0] is None:
+        return np.ones(nc, np.float32) / nc
+    classes = np.concatenate([np.asarray(l)[:, 0] for l in labels], 0).astype(int)
+    weights = np.bincount(classes, minlength=nc).astype(np.float64)
+    weights[weights == 0] = 1
+    weights = 1 / weights
+    return (weights / weights.sum()).astype(np.float32)
+
+
+def labels_to_image_weights(labels, nc: int = 80, class_weights=None) -> np.ndarray:
+    """Per-image sampling weights = sum of class weights over each image's
+    instances (reference utils/general.py:733-738); used by --image-weights
+    to resample the epoch's indices toward rare/low-mAP classes."""
+    cw = np.ones(nc, np.float32) if class_weights is None else np.asarray(class_weights)
+    counts = np.stack([np.bincount(np.asarray(l)[:, 0].astype(int), minlength=nc)
+                       if len(l) else np.zeros(nc) for l in labels])
+    return (cw.reshape(1, nc) * counts).sum(1)
+
+
 def intersect_dicts(da: dict, db: dict, exclude=()):
     """Intersection of dicts with matching shapes, excluding keys containing `exclude` strings."""
     return {
