@@ -41,7 +41,7 @@ TORCHVISION_ARCHS = ("resnet18", "resnet34", "resnet50", "wide_resnet50_2",
                      "vgg11_bn", "convnext_tiny")
 
 
-def build_classifier(model_name: str, nc: int, cutoff: int = 10):
+def build_classifier(model_name: str, nc: int, cutoff: int = 10, dropout: float = 0.0):
     """YOLO-cls (detection cfg + cutoff) or a native torchvision-family
     backbone + Classify head (reference classify/train.py's
     torchvision-or-YOLO model option)."""
@@ -49,9 +49,9 @@ def build_classifier(model_name: str, nc: int, cutoff: int = 10):
         cfg = dict(nc=nc, depth_multiple=1.0, width_multiple=1.0,
                    backbone=[[-1, 1, f"{model_name}{i}", [0]] for i in (1, 2, 3)],
                    head=[])
-        return ClassificationModel(cfg, nc=nc, cutoff=3)
+        return ClassificationModel(cfg, nc=nc, cutoff=3, dropout=dropout)
     cfg = Path(model_name) if Path(model_name).exists() else CONFIGS / "models" / model_name
-    return ClassificationModel(cfg, nc=nc, cutoff=cutoff)
+    return ClassificationModel(cfg, nc=nc, cutoff=cutoff, dropout=dropout)
 
 
 def train(opt):
@@ -69,7 +69,12 @@ def train(opt):
         cache=opt.cache, shuffle=False)
     nc = len(train_ds.classes)
 
-    model = build_classifier(opt.model, nc, cutoff=opt.cutoff)
+    if opt.pretrained and not Path(opt.pretrained).exists():
+        LOGGER.info("--pretrained: no local weights file given; torchvision "
+                    "release downloads need egress (utils/downloads.py has "
+                    "the URL table) - training from scratch")
+    model = build_classifier(opt.model, nc, cutoff=opt.cutoff,
+                             dropout=opt.dropout or 0.0)
     variables = model.module.init(jax.random.PRNGKey(opt.seed),
                                   jnp.zeros((1, opt.imgsz, opt.imgsz, 3)), train=True)
     variables = jax.tree_util.tree_map(np.asarray, variables)
@@ -84,7 +89,8 @@ def train(opt):
     if opt.data_parallel and jax.device_count() > 1:
         from yolo_dual_tpu.parallel import make_mesh
         mesh = make_mesh()
-    trainer = Trainer(model, loss_fn, tx, ema=ModelEMA(), task="classify", mesh=mesh)
+    trainer = Trainer(model, loss_fn, tx, ema=ModelEMA(), task="classify", mesh=mesh,
+                      dropout=bool(opt.dropout))
     state = trainer.init_state(dict(variables))
     step_fn = trainer.make_train_step()
     eval_fn = trainer.make_eval_step()
@@ -119,12 +125,14 @@ def train(opt):
                     f"({(time.time() - t0) / (epoch + 1):.1f}s/epoch)")
         with open(csv_path, "a", newline="") as f:
             csv.writer(f).writerow([epoch, mloss, top1, top5])
-        ckpt = {"variables": {"params": state.params, "batch_stats": state.batch_stats},
-                "ema": state.ema, "epoch": epoch, "classes": train_ds.classes}
-        save_checkpoint(save_dir / "last", ckpt)
-        if top1 >= best:
-            best = top1
-            save_checkpoint(save_dir / "best", ckpt)
+        final_epoch = epoch == opt.epochs - 1
+        if not opt.nosave or final_epoch:
+            ckpt = {"variables": {"params": state.params, "batch_stats": state.batch_stats},
+                    "ema": state.ema, "epoch": epoch, "classes": train_ds.classes}
+            save_checkpoint(save_dir / "last", ckpt)
+            if top1 >= best:
+                save_checkpoint(save_dir / "best", ckpt)
+        best = max(best, top1)
         if stopper(epoch, top1):
             break
     LOGGER.info(f"Done; best top1 {best:.4f}; results in {save_dir}")
@@ -136,14 +144,21 @@ def parse_opt(argv=None):
     p.add_argument("--model", type=str, default="yolov5n.yaml",
                    help="detection cfg for backbone, or a torchvision arch "
                         "name (resnet18, efficientnet_b0, ...)")
-    p.add_argument("--data-dir", type=str, required=True, help="root with train/ and val|test/")
+    p.add_argument("--data-dir", "--data", type=str, required=True,
+                   help="root with train/ and val|test/")
     p.add_argument("--cutoff", type=int, default=10)
     p.add_argument("--cache", type=str, default=False, nargs="?", const="ram",
                    help="image cache: ram or disk (reference --cache)")
     p.add_argument("--no-augment", action="store_true")
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--batch-size", type=int, default=64)
-    p.add_argument("--imgsz", type=int, default=224)
+    p.add_argument("--imgsz", "--img", "--img-size", type=int, default=224)
+    p.add_argument("--dropout", type=float, default=None, help="classifier-head dropout fraction")
+    p.add_argument("--pretrained", type=str, default="", nargs="?", const="download",
+                   help="accepted for parity (torchvision downloads need egress)")
+    p.add_argument("--nosave", action="store_true", help="checkpoint final epoch only")
+    p.add_argument("--verbose", action="store_true")
+    p.add_argument("--workers", type=int, default=0, help="parity flag (thread prefetch)")
     p.add_argument("--optimizer", default="Adam")
     p.add_argument("--lr0", type=float, default=0.001)
     p.add_argument("--lrf", type=float, default=0.01)

@@ -23,7 +23,7 @@ CONFIGS = ROOT / "yolo_dual_tpu" / "configs"
 
 
 def run(weights="", model="yolov5n.yaml", data_dir="", imgsz=224, batch_size=64,
-        cutoff=10, device="", **kw):
+        cutoff=10, device="", verbose=False, **kw):
     from yolo_dual_tpu.utils.general import select_device
     select_device(device)
     sys.path.insert(0, str(ROOT / "classify"))
@@ -44,17 +44,28 @@ def run(weights="", model="yolov5n.yaml", data_dir="", imgsz=224, batch_size=64,
     def fwd(v, x):
         return m.module.apply(v, normalize_image(x), train=False)
 
+    nc = len(ds.classes)
     top1 = top5 = n = 0
+    c_top1 = np.zeros(nc)
+    c_n = np.zeros(nc)
     for batch in loader:
         logits = np.asarray(fwd(variables, jnp.asarray(batch["image"])))
         bsz = int(batch.get("n_valid", len(logits)))
-        lab = batch["label"][:bsz]
+        lab = np.asarray(batch["label"][:bsz])
         order = np.argsort(-logits[:bsz], axis=1)
-        top1 += (order[:, 0] == lab).sum()
+        hit1 = order[:, 0] == lab
+        top1 += hit1.sum()
         top5 += (order[:, :5] == lab[:, None]).any(1).sum()
         n += bsz
+        np.add.at(c_top1, lab, hit1)
+        np.add.at(c_n, lab, 1)
     top1, top5 = top1 / max(n, 1), top5 / max(n, 1)
     LOGGER.info(f"top1 {top1:.4f} top5 {top5:.4f} over {n} images")
+    if verbose:
+        # per-class accuracy table (reference classify/val.py --verbose)
+        for i, cname in enumerate(ds.classes):
+            acc = c_top1[i] / max(c_n[i], 1)
+            LOGGER.info(f"  {cname:>20s}: {int(c_n[i]):4d} imgs  top1 {acc:.4f}")
     return top1, top5
 
 
@@ -62,8 +73,12 @@ def parse_opt(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--weights", type=str, default="")
     p.add_argument("--model", type=str, default="yolov5n.yaml")
-    p.add_argument("--data-dir", type=str, required=True)
-    p.add_argument("--imgsz", type=int, default=224)
+    p.add_argument("--data-dir", "--data", type=str, required=True)
+    p.add_argument("--imgsz", "--img", "--img-size", type=int, default=224)
+    p.add_argument("--verbose", action="store_true", help="per-class accuracy")
+    p.add_argument("--half", action="store_true", help="parity flag")
+    p.add_argument("--dnn", action="store_true", help="parity flag")
+    p.add_argument("--workers", type=int, default=0, help="parity flag")
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--cutoff", type=int, default=10)
     p.add_argument("--device", default="", help="parity flag")

@@ -323,14 +323,16 @@ class ClassificationModel(BaseModel):
 
     task = "classify"
 
-    def __init__(self, cfg=None, nc: int = 1000, cutoff: int = 10, dtype: Dtype = None):
+    def __init__(self, cfg=None, nc: int = 1000, cutoff: int = 10, dtype: Dtype = None,
+                 dropout: float = 0.0):
         self.yaml = _load_cfg(cfg)
         base = parse_config(self.yaml, ch=3)
         layers = list(base.layers[:cutoff])
         i = len(layers)
         ch_in_cls = layers[-1].c2
+        head_kw = (("c2", nc),) + ((("dropout", float(dropout)),) if dropout else ())
         layers.append(LayerSpec(i=i, f=-1, n=1, name="Classify",
-                                kwargs=(("c2", nc),), c2=nc))
+                                kwargs=head_kw, c2=nc))
         spec = ModelSpec(layers=tuple(layers), nc=nc, ch_in=3,
                          save=tuple(s for s in base.save if s < i),
                          out_ch=tuple([l.c2 for l in layers]),

@@ -682,13 +682,16 @@ class Proto(nn.Module):
 
 
 class Classify(nn.Module):
-    """Classification head: conv -> GAP -> linear (reference models/common.py:851-864)."""
+    """Classification head: conv -> GAP -> [dropout] -> linear (reference
+    models/common.py:851-864; dropout rate = the reference's --dropout flag,
+    classify/train.py:124-125)."""
 
     c2: int
     k: int = 1
     s: int = 1
     p: Optional[int] = None
     g: int = 1
+    dropout: float = 0.0
     dtype: Dtype = None
 
     @nn.compact
@@ -697,4 +700,6 @@ class Classify(nn.Module):
             x = jnp.concatenate(x, axis=-1)
         x = Conv(1280, self.k, self.s, self.p, self.g, dtype=self.dtype, name="conv")(x, train)
         x = x.mean(axis=(1, 2))
+        if self.dropout:
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return nn.Dense(self.c2, dtype=self.dtype, name="linear")(x)

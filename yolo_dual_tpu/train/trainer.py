@@ -74,6 +74,9 @@ class Trainer:
     accumulate: int = 1              # grad-accumulation factor (must match the
     # optax.MultiSteps every_k_schedule in `tx`): EMA advances only on real
     # optimizer steps, like the reference's once-per-step ModelEMA.update
+    dropout: bool = False            # supply a per-step 'dropout' rng (heads
+    # with nn.Dropout, e.g. Classify(dropout=...); folds the step counter
+    # into a fixed key, so resume keeps the stream deterministic)
 
     def init_state(self, variables: dict) -> TrainState:
         params = variables["params"]
@@ -132,8 +135,11 @@ class Trainer:
         # (runtime INVALID_ARGUMENT); the memory saving (~params+opt state)
         # is negligible next to HBM at these model sizes.
         def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+            rngs = ({"dropout": jax.random.fold_in(jax.random.PRNGKey(17), state.step)}
+                    if self.dropout else None)
             grad_fn = jax.value_and_grad(self._forward_loss, has_aux=True)
-            (loss, (items, new_bs)), grads = grad_fn(state.params, state.batch_stats, batch)
+            (loss, (items, new_bs)), grads = grad_fn(state.params, state.batch_stats,
+                                                     batch, rngs)
             updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
             import optax
             params = optax.apply_updates(state.params, updates)
