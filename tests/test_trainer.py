@@ -199,3 +199,19 @@ def test_segment_train_2d_mesh_matches_1d(rng):
     one_d = run(Mesh(np.asarray(devs[:8]), ("data",)))
     two_d = run(make_mesh_2d(4, 2))
     np.testing.assert_allclose(one_d, two_d, rtol=2e-4)
+
+
+def test_multihost_two_process_dryrun():
+    """TRUE multi-process data parallelism: 2 jax.distributed processes x 2
+    virtual CPU devices assemble per-host batches into global arrays
+    (shard_batch global_batch=True) and agree on the global loss.
+    (SURVEY §2.4 multi-host strategy; tools/multihost_dryrun.py)"""
+    import subprocess
+    import sys
+    from pathlib import Path
+    tool = Path(__file__).resolve().parents[1] / "tools" / "multihost_dryrun.py"
+    r = subprocess.run([sys.executable, str(tool), "--nproc", "2",
+                        "--devices-per-proc", "2", "--timeout", "600"],
+                       capture_output=True, text=True, timeout=700)
+    assert r.returncode == 0, r.stdout[-3000:]
+    assert "multihost_dryrun OK" in r.stdout

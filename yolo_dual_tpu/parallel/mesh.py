@@ -88,19 +88,28 @@ def replicate(tree, mesh: Mesh):
 _SPATIAL_KEYS = ("image", "images", "mask", "masks")  # leaves whose dim 1 is H
 
 
-def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+def shard_batch(batch, mesh: Mesh, axis: str = "data", global_batch: bool = False):
     """Shard each leaf's leading (batch) dimension over the data axis; on a
     2-D mesh, image/mask planes (dim 1 = H) also shard over 'space'.
     Target tables etc. stay data-sharded only — their dim 1 is an instance
-    index, not a spatial extent."""
+    index, not a spatial extent.
+
+    global_batch: in a MULTI-PROCESS run, each host passes only ITS rows (what
+    the Loader's process_index()-strided sharding yields) and the leaves are
+    assembled into global arrays via make_array_from_process_local_data —
+    jax.device_put would wrongly treat the local rows as the global batch."""
     spatial = "space" in mesh.axis_names
+    multiproc = global_batch and jax.process_count() > 1
 
     def put(key, x):
         if spatial and key in _SPATIAL_KEYS and np.ndim(x) >= 3:
             spec = batch_spec(mesh, np.ndim(x))
         else:
             spec = P(axis) if np.ndim(x) >= 1 else P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if multiproc:
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
 
     if isinstance(batch, dict):
         return {k: put(k, v) for k, v in batch.items()}
