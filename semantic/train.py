@@ -52,19 +52,76 @@ def train(opt):
     from yolo_dual_tpu.utils.general import select_device
     select_device(opt.device)
     init_seeds(opt.seed)
-    save_dir = increment_path(Path(opt.project) / opt.name, exist_ok=opt.exist_ok, mkdir=True)
-    hyp = yaml_load(find_cfg(opt.hyp, "hyps")) if opt.hyp else dict(
-        lr0=0.01, lrf=0.01, momentum=0.937, weight_decay=5e-4, warmup_epochs=3.0,
-        warmup_momentum=0.8, warmup_bias_lr=0.1)
+    resume_ckpt = None
+    if opt.resume:
+        # smart-resume run-dir resolution + opt/hyp reinstatement (reference
+        # utils/torch_utils.py:361-378; same semantics as segment/train.py:
+        # the run's opt.yaml wins over defaults, explicitly-typed flags win
+        # over the run)
+        if isinstance(opt.resume, str) and Path(opt.resume).exists():
+            resume_ckpt = Path(opt.resume)
+            save_dir = resume_ckpt.parent
+        else:
+            runs = sorted((p for p in Path(opt.project).glob(f"{opt.name}*")
+                           if (p / "last").exists()),
+                          key=lambda p: (p / "last").stat().st_mtime)
+            if not runs:
+                raise FileNotFoundError(
+                    f"--resume: no run with a 'last' checkpoint under "
+                    f"{opt.project}/{opt.name}*")
+            save_dir = runs[-1]
+            resume_ckpt = save_dir / "last"
+        explicit = set(getattr(opt, "explicit", []) or [])
+        opt_yaml = save_dir / "opt.yaml"
+        if opt_yaml.exists():
+            for k, v in yaml_load(opt_yaml).items():
+                if (k not in ("resume", "device", "workers", "project", "name",
+                              "exist_ok", "explicit")
+                        and k not in explicit and hasattr(opt, k)):
+                    setattr(opt, k, v)
+        hyp_yaml = save_dir / "hyp.yaml"
+        if hyp_yaml.exists() and "hyp" not in explicit:
+            hyp = yaml_load(hyp_yaml)
+        else:
+            hyp = yaml_load(find_cfg(opt.hyp, "hyps"))
+    else:
+        save_dir = increment_path(Path(opt.project) / opt.name, exist_ok=opt.exist_ok, mkdir=True)
+        hyp = yaml_load(find_cfg(opt.hyp, "hyps")) if opt.hyp else dict(
+            lr0=0.01, lrf=0.01, momentum=0.937, weight_decay=5e-4, warmup_epochs=3.0,
+            warmup_momentum=0.8, warmup_bias_lr=0.1)
     yaml_save(save_dir / "hyp.yaml", hyp)
     yaml_save(save_dir / "opt.yaml", vars(opt))
 
+    if not opt.img_dir or not opt.json_dir:
+        raise SystemExit("--img-dir/--json-dir are required (or restorable via --resume)")
     ok, missing = verify_json_masks(opt.img_dir, opt.json_dir)
     if not ok and opt.mask_dir:
         LOGGER.info(f"{len(missing)} JSON masks missing; converting from {opt.mask_dir}")
         batch_convert_masks_to_json(opt.mask_dir, opt.json_dir, CLASS_NAMES)
     model = SemanticSegModel(find_cfg(opt.cfg), nc=opt.nc)
     variables = model.init(imgsz=opt.imgsz)
+    if opt.weights and resume_ckpt is None:
+        # partial pretrained load: keep shape-matching leaves (reference
+        # intersect_dicts, seg_diceloss_Resnet50.py:978-984)
+        from yolo_dual_tpu.train import load_checkpoint
+        ckpt = load_checkpoint(opt.weights)
+        src = ckpt.get("variables", ckpt)
+        if ckpt.get("ema"):
+            src = ckpt["ema"].get("ema", src)
+        import jax.tree_util as jtu
+        flat_src = dict(jtu.tree_flatten_with_path(src)[0])
+        n_hit = [0]
+
+        def take(path, leaf):
+            s = flat_src.get(path)
+            if s is not None and np.shape(s) == np.shape(leaf):
+                n_hit[0] += 1
+                return np.asarray(s)
+            return leaf
+
+        total = len(jtu.tree_leaves(variables))
+        variables = jtu.tree_map_with_path(take, variables)
+        LOGGER.info(f"loaded {n_hit[0]}/{total} leaves from {opt.weights}")
 
     train_loader, dataset = create_json_segment_dataloader(
         opt.img_dir, opt.json_dir, opt.imgsz, opt.batch_size, augment=True,
@@ -88,6 +145,9 @@ def train(opt):
     tx = smart_optimizer(variables["params"], opt.optimizer, hyp, epochs=opt.epochs,
                          steps_per_epoch=nb, cos_lr=opt.cos_lr, accumulate=accumulate,
                          total_batch_size=opt.batch_size)
+    if opt.freeze and (len(opt.freeze) > 1 or opt.freeze[0] > 0):
+        from yolo_dual_tpu.train import freeze_layers
+        tx = freeze_layers(tx, variables["params"], opt.freeze)
     mesh = None
     if opt.data_parallel and jax.device_count() > 1:
         from yolo_dual_tpu.parallel import make_mesh
@@ -95,17 +155,38 @@ def train(opt):
     trainer = Trainer(model, loss_fn, tx, ema=ModelEMA(), task="semantic", mesh=mesh,
                       accumulate=accumulate)
     state = trainer.init_state(variables)
+    start_epoch = 0
+    best_fitness = -1.0
+    if resume_ckpt is not None:
+        from yolo_dual_tpu.train import load_checkpoint
+        template = {"variables": {"params": state.params, "batch_stats": state.batch_stats},
+                    "ema": state.ema, "epoch": 0, "best_fitness": 0.0,
+                    "opt_state": state.opt_state}
+        try:
+            ckpt = load_checkpoint(resume_ckpt, target=template)
+        except Exception:
+            ckpt = load_checkpoint(resume_ckpt)
+        state = state.replace(
+            params=ckpt["variables"]["params"],
+            batch_stats=ckpt["variables"].get("batch_stats", state.batch_stats),
+            ema=ckpt.get("ema") or state.ema,
+            opt_state=(ckpt.get("opt_state") if ckpt.get("opt_state") is not None
+                       else state.opt_state))
+        start_epoch = int(ckpt.get("epoch", -1)) + 1
+        best_fitness = float(ckpt.get("best_fitness", -1.0))
+        LOGGER.info(f"resumed from epoch {start_epoch} (best mIoU {best_fitness:.4f})")
     step_fn = trainer.make_train_step()
     stopper = EarlyStopping(patience=opt.patience)
-    best_fitness = -1.0
+    stopper.best_fitness = max(best_fitness, 0.0)
 
     csv_path = save_dir / "results.csv"
-    with open(csv_path, "w", newline="") as f:
-        csv.writer(f).writerow(["epoch", "total_loss", "ce_loss", f"{opt.loss}_loss",
-                                "mIoU", "val_loss", "fitness"])
+    if resume_ckpt is None or not csv_path.exists():
+        with open(csv_path, "w", newline="") as f:
+            csv.writer(f).writerow(["epoch", "total_loss", "ce_loss", f"{opt.loss}_loss",
+                                    "mIoU", "val_loss", "fitness"])
 
     t0 = time.time()
-    for epoch in range(opt.epochs):
+    for epoch in range(start_epoch, opt.epochs):
         train_loader.set_epoch(epoch)
         mloss = np.zeros(3)
         for i, batch in enumerate(train_loader):
@@ -129,7 +210,8 @@ def train(opt):
         with open(csv_path, "a", newline="") as f:
             csv.writer(f).writerow([epoch, *mloss, miou, vloss, fi])
         ckpt = {"variables": {"params": state.params, "batch_stats": state.batch_stats},
-                "ema": state.ema, "epoch": epoch, "best_fitness": float(max(fi, best_fitness))}
+                "ema": state.ema, "epoch": epoch, "best_fitness": float(max(fi, best_fitness)),
+                "opt_state": state.opt_state}
         save_checkpoint(save_dir / "last", ckpt)
         if fi >= best_fitness:
             best_fitness = fi
@@ -148,10 +230,16 @@ def train(opt):
 
 def parse_opt(argv=None):
     p = argparse.ArgumentParser()
+    p.add_argument("--weights", type=str, default="",
+                   help="pretrained checkpoint (partial, shape-matched load)")
+    p.add_argument("--resume", nargs="?", const=True, default="",
+                   help="resume from last checkpoint (optionally a path)")
+    p.add_argument("--freeze", nargs="+", type=int, default=[0],
+                   help="freeze layers: single N = layers 0..N-1, list = indices")
     p.add_argument("--cfg", type=str, default="resnet50.yaml",
                    help="semantic model config (resnet18/34/50, vgg16, yolov5_seg, yolov8_seg, yolov9_seg)")
-    p.add_argument("--img-dir", type=str, required=True)
-    p.add_argument("--json-dir", type=str, required=True)
+    p.add_argument("--img-dir", type=str, default="", help="required unless --resume")
+    p.add_argument("--json-dir", type=str, default="", help="required unless --resume")
     p.add_argument("--mask-dir", type=str, default="", help="PNG masks to auto-convert to JSON")
     p.add_argument("--val-img-dir", type=str, default="")
     p.add_argument("--val-json-dir", type=str, default="")
@@ -175,7 +263,13 @@ def parse_opt(argv=None):
     p.add_argument("--data-parallel", action="store_true")
     p.add_argument("--device", default="", help="parity flag")
     p.add_argument("--workers", type=int, default=0, help="parity flag")
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    # which flags the user actually typed: on --resume, other values come
+    # from the run's opt.yaml (same contract as segment/train.py)
+    tokens = {t.split("=", 1)[0] for t in (argv if argv is not None else sys.argv[1:])}
+    args.explicit = sorted(a.dest for a in p._actions
+                           if any(s in tokens for s in a.option_strings))
+    return args
 
 
 if __name__ == "__main__":
