@@ -147,9 +147,21 @@ def main(opt):
     if opt.task == "speed":
         run(**{**vars(opt), "task": "val", "conf_thres": 0.25, "iou_thres": 0.45})
     elif opt.task == "study":
-        for sz in range(256, 1536 + 128, 128):  # reference resolution sweep :454-465
+        # resolution sweep -> study_{data}_{weights}.txt rows of
+        # [8 metrics, 3 times] + speed-vs-mAP plot (reference :454-465)
+        f = f"study_{Path(opt.data).stem}_{Path(str(opt.weights)).stem}.txt"
+        sizes, rows = list(range(256, 1536 + 128, 128)), []
+        for sz in sizes:
             LOGGER.info(f"--- study imgsz {sz}")
-            run(**{**vars(opt), "task": "val", "imgsz": sz})
+            mean, _, t = run(**{**vars(opt), "task": "val", "imgsz": sz})
+            rows.append(tuple(mean) + tuple(t))
+        np.savetxt(f, rows, fmt="%10.4g")
+        LOGGER.info(f"study saved to {f}")
+        try:
+            from yolo_dual_tpu.utils.plots import plot_val_study
+            plot_val_study(dir=".", x=sizes)
+        except Exception as e:
+            LOGGER.info(f"study plot skipped: {e}")
     else:
         run(**vars(opt))
 

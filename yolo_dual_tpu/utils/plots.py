@@ -265,6 +265,33 @@ def plot_evolve(evolve_csv="evolve.csv"):
     return out
 
 
+def plot_val_study(file="", dir=".", x=None):
+    """Speed-vs-mAP study curves from study_*.txt files written by
+    `segment/val.py --task study` (reference utils/plots.py:356-399).
+    Row layout: 8 metrics [P,R,mAP50,mAP]x{box,mask} + 3 times [pre,inf,post]."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    save_dir = Path(file).parent if file else Path(dir)
+    files = [Path(file)] if file else sorted(save_dir.glob("study*.txt"))
+    fig, ax = plt.subplots(1, 1, figsize=(8, 4), tight_layout=True)
+    for f in files:
+        y = np.loadtxt(f, dtype=np.float32, ndmin=2).T
+        if not y.size:
+            continue
+        j = int(y[3].argmax()) + 1  # stop at peak box mAP (reference :374)
+        ax.plot(y[9, :j], y[3, :j] * 100, ".-", linewidth=2, markersize=8,
+                label=f.stem.replace("study_", ""))
+    ax.set_xlabel("inference time (ms/img)")
+    ax.set_ylabel("box mAP50-95")
+    ax.grid(alpha=0.2)
+    ax.legend(loc="lower right")
+    out = save_dir / "study.png"
+    fig.savefig(out, dpi=200)
+    plt.close(fig)
+    return out
+
+
 def feature_visualization(x, module_type, stage, n=32, save_dir=Path("runs/features")):
     """Save first-n channel maps of a feature tensor (reference utils/plots.py:184)."""
     import matplotlib
