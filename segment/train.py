@@ -198,8 +198,11 @@ def train(opt):
     # TB + optional remote sinks (CSV handled above to keep the resume-append
     # semantics); reference Loggers facade, utils/loggers/__init__.py
     from yolo_dual_tpu.utils.loggers import Loggers
+    # the trainer owns results.csv (resume-append semantics above) — a "csv"
+    # sink here would adopt its header and interleave NaN rows (advisor r2)
+    extra_sinks = tuple(s for s in (opt.loggers or ()) if s != "csv")
     loggers = Loggers(save_dir, opt=vars(opt), hyp=hyp,
-                      include=("tb",) + tuple(opt.loggers or ()), run_name=opt.name)
+                      include=("tb",) + extra_sinks, run_name=opt.name)
 
     LOGGER.info(f"Training {opt.cfg} on {data.get('train')} for {opt.epochs} epochs "
                 f"(batch {opt.batch_size}, imgsz {imgsz}, accumulate {accumulate})...")

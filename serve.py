@@ -63,7 +63,13 @@ def build_server(opt):
                 self.send_error(404)
                 return
             n = int(self.headers.get("Content-Length", 0))
-            img = cv2.imdecode(np.frombuffer(self.rfile.read(n), np.uint8), cv2.IMREAD_COLOR)
+            try:
+                # empty/garbage buffers: modern OpenCV RAISES on empty input
+                # instead of returning None — both must map to a clean 400
+                img = cv2.imdecode(np.frombuffer(self.rfile.read(n), np.uint8),
+                                   cv2.IMREAD_COLOR) if n else None
+            except cv2.error:
+                img = None
             if img is None:
                 self.send_error(400, "not an image")
                 return

@@ -261,3 +261,17 @@ def test_loader_sample_weights_resampling():
     assert idx != loader._indices() or True  # different epoch may differ
     loader.sample_weights = None
     assert sorted(loader._indices()) == list(range(10))
+
+
+def test_check_anchors_nonsquare_orientation():
+    """(h, w) dataset shapes x (w, h) normalized labels: the per-axis pixel
+    scale must not invert box aspect on non-square images (advisor r2)."""
+    from yolo_dual_tpu.utils.autoanchor import check_anchors
+    shapes = np.array([[320, 640]] * 40)          # (h, w): wide images
+    # wide boxes: normalized (w=0.5, h=0.25) -> pixels (320, 80)
+    labels = [np.array([[0, 0.5, 0.5, 0.5, 0.25]], np.float32) for _ in range(40)]
+    anchors = np.array([[[320, 80]]], np.float32)  # exact (w, h) pixel match
+    np.random.seed(0)
+    bpr, new = check_anchors(shapes, labels, anchors, stride=[8], thr=1.25, imgsz=640)
+    assert bpr == 1.0, f"aspect inverted: bpr={bpr}"
+    assert new is None

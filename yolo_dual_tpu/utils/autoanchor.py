@@ -32,11 +32,18 @@ def check_anchors(dataset_shapes, dataset_labels, anchors, stride, thr: float = 
     """BPR check; returns (bpr, suggested_anchors|None)
     (reference utils/autoanchor.py:17-55).
 
-    dataset_shapes: (n, 2) original (h, w); dataset_labels: list of (m, 5)
-    [cls, xywh normalized]; anchors: (nl, na, 2) pixel anchors; stride (nl,)."""
-    shapes = imgsz * np.asarray(dataset_shapes) / np.asarray(dataset_shapes).max(1, keepdims=True)
+    dataset_shapes: (n, 2) original (h, w) — the YoloDataset cache layout;
+    dataset_labels: list of (m, 5) [cls, xywh normalized]; anchors: (nl, na, 2)
+    PIXEL anchors (the config convention — the head divides by stride itself),
+    so `stride` is accepted only for reference-signature parity and performs
+    no rescale here."""
+    shapes = imgsz * np.asarray(dataset_shapes, np.float64) \
+        / np.asarray(dataset_shapes).max(1, keepdims=True)
     scale = np.random.uniform(0.9, 1.1, size=(len(shapes), 1))
-    wh = np.concatenate([l[:, 3:5] * s * sc for s, sc, l in
+    # labels store (w, h) normalized; shapes rows are (h, w) -> flip before
+    # the per-axis pixel scale or every box's aspect inverts on non-square
+    # images (advisor r2)
+    wh = np.concatenate([l[:, 3:5] * s[::-1] * sc for s, sc, l in
                          zip(shapes, scale, dataset_labels) if len(l)])
     k = np.asarray(anchors, np.float32).reshape(-1, 2)
     x, best = _metric(k, wh)

@@ -37,7 +37,13 @@ def autobatch(model, variables, imgsz: int = 640, fraction: float = 0.8,
             total = (getattr(mem, "temp_size_in_bytes", 0)
                      + getattr(mem, "argument_size_in_bytes", 0)
                      + getattr(mem, "output_size_in_bytes", 0))
-            if total and total > limit:
+            if not total:
+                # unknown memory cost (backend reports no analysis): growing
+                # further is a blind bet — keep the last PROVEN batch instead
+                # of returning the largest candidate unchecked (advisor r2)
+                LOGGER.info(f"autobatch: no memory analysis at bs={bs}; keeping {best}")
+                break
+            if total > limit:
                 break
             best = bs
         except Exception as e:
