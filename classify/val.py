@@ -23,7 +23,7 @@ CONFIGS = ROOT / "yolo_dual_tpu" / "configs"
 
 
 def run(weights="", model="yolov5n.yaml", data_dir="", imgsz=224, batch_size=64,
-        cutoff=10, device="", verbose=False, **kw):
+        cutoff=10, device="", verbose=False, plots=False, save_dir=".", **kw):
     from yolo_dual_tpu.utils.general import select_device
     select_device(device)
     sys.path.insert(0, str(ROOT / "classify"))
@@ -61,6 +61,16 @@ def run(weights="", model="yolov5n.yaml", data_dir="", imgsz=224, batch_size=64,
         np.add.at(c_n, lab, 1)
     top1, top5 = top1 / max(n, 1), top5 / max(n, 1)
     LOGGER.info(f"top1 {top1:.4f} top5 {top5:.4f} over {n} images")
+    if plots:
+        # first-batch mosaic with true/pred captions (reference imshow_cls,
+        # utils/plots.py:447-474)
+        from yolo_dual_tpu.utils.plots import imshow_cls
+        batch = next(iter(loader))
+        logits = np.asarray(fwd(variables, jnp.asarray(batch["image"])))
+        f = imshow_cls(batch["image"], labels=batch["label"],
+                       pred=np.argsort(-logits, axis=1)[:, 0], names=ds.classes,
+                       f=Path(save_dir) / "val_images.jpg")
+        LOGGER.info(f"mosaic saved to {f}")
     if verbose:
         # per-class accuracy table (reference classify/val.py --verbose)
         for i, cname in enumerate(ds.classes):
@@ -76,6 +86,8 @@ def parse_opt(argv=None):
     p.add_argument("--data-dir", "--data", type=str, required=True)
     p.add_argument("--imgsz", "--img", "--img-size", type=int, default=224)
     p.add_argument("--verbose", action="store_true", help="per-class accuracy")
+    p.add_argument("--plots", action="store_true", help="save val_images.jpg mosaic")
+    p.add_argument("--save-dir", type=str, default=".")
     p.add_argument("--half", action="store_true", help="parity flag")
     p.add_argument("--dnn", action="store_true", help="parity flag")
     p.add_argument("--workers", type=int, default=0, help="parity flag")

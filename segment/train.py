@@ -129,6 +129,14 @@ def train(opt):
         mask_downsample_ratio=opt.mask_ratio, overlap_mask=not opt.no_overlap,
         task="segment", seed=opt.seed, prefix=colorstr("train: "), single_cls=opt.single_cls,
         rect=opt.rect, cache_images=opt.cache)
+    if not opt.noplots:
+        try:  # label-distribution panels (reference on_pretrain_routine_end)
+            from yolo_dual_tpu.utils.plots import plot_labels
+            all_lbl = [l for l in dataset.labels if len(l)]
+            if all_lbl:
+                plot_labels(np.concatenate(all_lbl), data.get("names", {}), save_dir)
+        except Exception as e:
+            LOGGER.info(f"labels plot skipped: {e}")
     if opt.quad:
         # the reference's seg collate_fn4 resolves to the DETECTION quad
         # collate (drops masks) — unusable for segment training there too;

@@ -130,3 +130,20 @@ def test_semantic_predict_cli(tmp_path, rng):
         for kind in ("mask", "overlay", "panel"):
             assert (save_dir / f"{stem}_{kind}.png").exists()
     assert set(metrics) == {"mIoU", "IoU", "Accuracy", "Class_Accuracy"}
+
+
+def test_new_plot_helpers(tmp_path, rng):
+    """plot_labels / imshow_cls / plot_lr_scheduler produce non-trivial files."""
+    from yolo_dual_tpu.utils.plots import imshow_cls, plot_labels, plot_lr_scheduler
+    labels = np.column_stack([rng.integers(0, 3, 50),
+                              rng.uniform(0.2, 0.8, (50, 2)),
+                              rng.uniform(0.05, 0.4, (50, 2))])
+    f1 = plot_labels(labels, {0: "a", 1: "b", 2: "c"}, tmp_path)
+    ims = rng.uniform(0, 255, (9, 32, 32, 3)).astype(np.uint8)
+    f2 = imshow_cls(ims, labels=rng.integers(0, 3, 9), pred=rng.integers(0, 3, 9),
+                    names=["a", "b", "c"], f=tmp_path / "cls.jpg")
+    from yolo_dual_tpu.train import build_lr_schedule
+    lr = build_lr_schedule(dict(lr0=0.01, lrf=0.1, warmup_epochs=1.0), 10, 20, True, "g0", 1)
+    f3 = plot_lr_scheduler(lr, 200, tmp_path)
+    for f in (f1, f2, f3):
+        assert f.exists() and f.stat().st_size > 2000, f

@@ -338,3 +338,103 @@ def save_one_box(xyxy, im, file=Path("im.jpg"), gain: float = 1.02, pad: int = 1
         f = increment_path(file.with_suffix(".jpg"))
         cv2.imwrite(str(f), np.ascontiguousarray(crop))
     return crop
+
+
+def plot_labels(labels, names=(), save_dir=Path(".")):
+    """Dataset-label panels -> labels.jpg: class histogram, box-overlay,
+    xy and wh densities (reference utils/plots.py:402-445, without the
+    seaborn correlogram dependency). labels: (n, 5) [cls, xywh normalized]."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    labels = np.asarray(labels, np.float64)
+    if not labels.size:
+        return None
+    save_dir = Path(save_dir)
+    c, b = labels[:, 0], labels[:, 1:5]
+    nc = int(c.max()) + 1
+    fig, ax = plt.subplots(2, 2, figsize=(8, 8), tight_layout=True)
+    ax = ax.ravel()
+    y = ax[0].hist(c, bins=np.linspace(0, nc, nc + 1) - 0.5, rwidth=0.8)
+    for i in range(min(nc, len(y[2].patches))):
+        y[2].patches[i].set_color([v / 255 for v in colors(i)])
+    ax[0].set_ylabel("instances")
+    if 0 < len(names) < 30:
+        ax[0].set_xticks(range(len(names)))
+        labels_txt = list(names.values()) if isinstance(names, dict) else list(names)
+        ax[0].set_xticklabels(labels_txt, rotation=90, fontsize=9)
+    else:
+        ax[0].set_xlabel("classes")
+    # centered box overlay (first 1000)
+    img = np.full((1000, 1000, 3), 255, np.uint8)
+    import cv2
+    for cls, (_, _, w, h) in zip(c[:1000], b[:1000]):
+        x1 = int((0.5 - w / 2) * 1000)
+        y1 = int((0.5 - h / 2) * 1000)
+        x2 = int((0.5 + w / 2) * 1000)
+        y2 = int((0.5 + h / 2) * 1000)
+        cv2.rectangle(img, (x1, y1), (x2, y2), colors(int(cls)), 1)
+    ax[1].imshow(img)
+    ax[1].axis("off")
+    ax[2].hist2d(b[:, 0], b[:, 1], bins=50, cmap="Blues")
+    ax[2].set_xlabel("x")
+    ax[2].set_ylabel("y")
+    ax[3].hist2d(b[:, 2], b[:, 3], bins=50, cmap="Blues")
+    ax[3].set_xlabel("width")
+    ax[3].set_ylabel("height")
+    out = save_dir / "labels.jpg"
+    fig.savefig(out, dpi=200)
+    plt.close(fig)
+    return out
+
+
+def imshow_cls(ims, labels=None, pred=None, names=None, nmax: int = 25,
+               f=Path("images.jpg")):
+    """Classification image mosaic with true/pred captions
+    (reference utils/plots.py:447-474). ims: (n, h, w, 3) RGB uint8/float."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    ims = np.asarray(ims)
+    n = min(len(ims), nmax)
+    m = int(np.ceil(n ** 0.5))
+    fig, axes = plt.subplots(m, m, figsize=(m * 1.8, m * 1.8), tight_layout=True)
+    axes = np.atleast_1d(axes).ravel()
+    for i in range(n):
+        im = ims[i]
+        if im.dtype != np.uint8:
+            im = (im * 255).clip(0, 255).astype(np.uint8)
+        axes[i].imshow(im)
+        title = []
+        if labels is not None:
+            title.append(str(names[int(labels[i])] if names else int(labels[i])))
+        if pred is not None:
+            title.append(f"pred: {names[int(pred[i])] if names else int(pred[i])}")
+        if title:
+            axes[i].set_title(" | ".join(title), fontsize=7)
+    for a in axes:
+        a.axis("off")
+    f = Path(f)
+    f.parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(f, dpi=160)
+    plt.close(fig)
+    return f
+
+
+def plot_lr_scheduler(lr_fn, steps: int, save_dir=Path(".")):
+    """LR-over-steps curve -> LR.png (reference utils/plots.py:309-320;
+    lr_fn: step -> lr, e.g. train.optim.build_lr_schedule's output)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    xs = np.arange(steps)
+    ys = [float(lr_fn(x)) for x in xs]
+    fig, ax = plt.subplots(figsize=(6, 4), tight_layout=True)
+    ax.plot(xs, ys)
+    ax.set_xlabel("step")
+    ax.set_ylabel("LR")
+    ax.grid(alpha=0.2)
+    out = Path(save_dir) / "LR.png"
+    fig.savefig(out, dpi=200)
+    plt.close(fig)
+    return out
