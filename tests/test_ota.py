@@ -80,3 +80,94 @@ def test_ota_gradients_flow():
     grads = jax.grad(f)([jnp.asarray(p) for p in preds])
     assert all(np.isfinite(np.asarray(g)).all() for g in grads)
     assert any(float(jnp.abs(g).sum()) > 0 for g in grads)
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference checkout unavailable")
+def test_ota_loss_parity_conflict_dense():
+    """Clustered ground truths force candidates matched by SEVERAL gts, so
+    the conflict-resolution branch (reference loss_OTA.py:427-431: reassign
+    to the GLOBAL min-cost gt, not just a top-k matcher) is exercised — the
+    random-layout parity test rarely hits it (advisor r2).
+
+    Asserts (level, b, a, gj, gi, matched-gt) assignment-set equality on all
+    SINGLY-claimed cells. Cells claimed by SEVERAL gts produce bit-identical
+    cost columns, whose distribution among gts is top-k/argmin tie-breaking
+    over candidate ORDER — order-dependent inside the reference itself
+    (find_3_positive concatenation order) — so those cells may legitimately
+    differ (PARITY.md known divergence) and the loss is only sanity-bounded."""
+    from test_torch_parity import _stub_torchvision
+    _stub_torchvision()
+    if str(REFERENCE) not in sys.path:
+        sys.path.insert(0, str(REFERENCE))
+    import utils.loss_OTA as ref_mod
+    RefOTA = ref_mod.ComputeLossOTA
+    _orig_iou = ref_mod.bbox_iou
+    ref_mod.bbox_iou = lambda *a, **k: _orig_iou(*a, **k).squeeze(-1)
+    try:
+        # seed 11: the old `matching & keep` conflict logic drops 5 fg
+        # candidates here vs the reference's unconditional reassignment
+        rng = np.random.default_rng(11)
+        bs, nc, M = 2, 5, 8
+        size = 64
+        preds = rand_preds(rng, bs, nc, 0, size)
+        tgts = np.zeros((bs, M, 5), np.float32)
+        tmask = np.zeros((bs, M), bool)
+        flat = []
+        for b in range(bs):
+            for i in range(M):
+                cls = int(rng.integers(0, nc))
+                xy = 0.5 + rng.uniform(-0.18, 0.18, 2)
+                wh = rng.uniform(0.25, 0.6, 2) * (1 + 0.05 * i)
+                tgts[b, i] = [cls, *xy, *wh]
+                tmask[b, i] = True
+                flat.append([b, cls, *xy, *wh])
+        flat = np.array(flat, np.float32)
+
+        ref = RefOTA(_FakeModel(nc, HYP))
+        bs_r, as_r, gjs, gis, targets_r, _ = ref.build_targets(
+            [torch.tensor(p) for p in preds], torch.tensor(flat),
+            torch.zeros(bs, 3, size, size))
+        ref_set = set()
+        for lvl in range(3):
+            for b_, a_, gj_, gi_, t_ in zip(bs_r[lvl], as_r[lvl], gjs[lvl],
+                                            gis[lvl], targets_r[lvl]):
+                ref_set.add((lvl, int(b_), int(a_), int(gj_), int(gi_),
+                             tuple(np.round(t_.numpy()[2:6], 5))))
+
+        from yolo_dual_tpu.losses.ota import ComputeLossOTA
+        ours = ComputeLossOTA(ANCHORS_PX, STRIDES, nc, HYP)
+        sel = ours._simota_select([jnp.asarray(p) for p in preds],
+                                  jnp.asarray(tgts), jnp.asarray(tmask), size)
+        lvl_arr = np.asarray(sel["lvl"])
+        idxs, fgs, mgts = (np.asarray(sel[k]) for k in ("idxs", "fgs", "matched_gts"))
+        fb, fa, fgj, fgi = (np.asarray(sel["fields"][k]) for k in ("b", "a", "gj", "gi"))
+        our_set = set()
+        for b in range(bs):
+            for c in range(idxs.shape[1]):
+                if fgs[b, c]:
+                    k = idxs[b, c]
+                    gt = tgts[b, mgts[b, c]]
+                    our_set.add((int(lvl_arr[k]), int(fb[k]), int(fa[k]),
+                                 int(fgj[k]), int(fgi[k]),
+                                 tuple(np.round(gt[1:5], 5))))
+        from collections import Counter
+        claims = Counter(e[:5] for e in ref_set | our_set)
+        multi = {c for c, n in claims.items() if n > 1}  # cells w/ >1 gt
+        ref_single = {e for e in ref_set if e[:5] not in multi}
+        our_single = {e for e in our_set if e[:5] not in multi}
+        assert our_single == ref_single, (
+            f"assignment divergence beyond duplicate-cell tie-breaking: "
+            f"ref-only {sorted(ref_single - our_single)[:4]}, "
+            f"ours-only {sorted(our_single - ref_single)[:4]}")
+        # every cell the reference assigns is assigned by us too (no drops —
+        # the old `matching & keep` conflict logic failed exactly this)
+        assert {e[:5] for e in ref_set} <= {e[:5] for e in our_set}, (
+            sorted({e[:5] for e in ref_set} - {e[:5] for e in our_set})[:6])
+
+        ref_loss, _ = ref([torch.tensor(p) for p in preds], torch.tensor(flat),
+                          torch.zeros(bs, 3, size, size))
+        loss, _ = ours([jnp.asarray(p) for p in preds], jnp.asarray(tgts),
+                       jnp.asarray(tmask), imgsz=size)
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=5e-2)
+    finally:
+        ref_mod.bbox_iou = _orig_iou

@@ -62,9 +62,14 @@ class ComputeLossOTA(ComputeLoss):
 
     # ------------------------------------------------------------------
     def _simota_select(self, p, targets, tmask, imgsz, bias: float = 0.5,
-                       levels=None):
+                       levels=None, loss_rows_from=None):
         """Returns per-candidate matched assignment (compacted, per image):
-        dict of (bs, C) arrays + fg mask + matched gt attributes."""
+        dict of (bs, C) arrays + fg mask + matched gt attributes.
+
+        loss_rows_from: optional second pyramid (same shapes) to gather
+        `loss_rows` from at the SAME candidate sites — the AuxOTA contract:
+        assignment cost from the lead head, loss evaluated on the aux head
+        (reference loss_AuxOTA.py:267 build_targets2(p[:nl], ...))."""
         levels = levels if levels is not None else list(range(len(p)))
         bs, M = tmask.shape
         asgns = []
@@ -87,6 +92,11 @@ class ComputeLossOTA(ComputeLoss):
         # gather candidate rows once: (K, no)
         rows = jnp.concatenate([
             pi[a.b, a.a, a.gj, a.gi] for pi, a in zip(p, asgns)], axis=0)
+        loss_rows = rows
+        if loss_rows_from is not None:
+            loss_rows = jnp.concatenate([
+                pi[a.b, a.a, a.gj, a.gi] for pi, a in zip(loss_rows_from, asgns)],
+                axis=0)
 
         strides_per_cand = jnp.asarray(self.strides, jnp.float32)[lvl]
 
@@ -152,11 +162,15 @@ class ComputeLossOTA(ComputeLoss):
                 take.reshape(-1))
             matching = matching & pair_valid
 
-            # conflicts: candidate matched by >1 gt -> keep min-cost gt
+            # conflicts: a candidate matched by >1 gt is REASSIGNED to the
+            # global min-cost gt — even one whose own top-k didn't select it
+            # (reference loss_OTA.py:427-431 zeroes the column then sets
+            # matching[cost_argmin]=1 unconditionally; `matching & keep`
+            # would silently drop such candidates, advisor r2)
             n_match = matching.sum(0)
             best_gt = jnp.argmin(cost, axis=0)                       # (C,)
-            keep = (jnp.arange(tgt.shape[0])[:, None] == best_gt[None, :])
-            matching = jnp.where(n_match[None, :] > 1, matching & keep, matching)
+            onehot_best = (jnp.arange(tgt.shape[0])[:, None] == best_gt[None, :])
+            matching = jnp.where(n_match[None, :] > 1, onehot_best, matching)
 
             fg = matching.any(0)                                     # (C,)
             matched_gt = jnp.argmax(matching, axis=0)                # (C,)
@@ -166,6 +180,7 @@ class ComputeLossOTA(ComputeLoss):
         return {
             "idxs": idxs, "fgs": fgs, "matched_gts": matched_gts,
             "fields": fields, "anch": anch, "lvl": lvl, "rows": rows,
+            "loss_rows": loss_rows,
         }
 
     # ------------------------------------------------------------------
@@ -251,17 +266,21 @@ class ComputeLossAuxOTA(ComputeLossOTA):
             imgsz = p[0].shape[2] * self.strides[0]
         lead, aux = list(p[:nl]), list(p[nl:])
         lead_loss, lead_items = ComputeLossOTA.__call__(self, lead, targets, tmask, imgsz)
-        # aux branch: wider (bias-1.0) candidate set, same matching
-        aux_loss, aux_items = self._aux_call(aux, targets, tmask, imgsz)
+        # aux branch: wider (bias-1.0) candidate set, assignment from the
+        # LEAD head's predictions (reference build_targets2(p[:nl], ...)),
+        # loss evaluated on the aux head at those sites (advisor r2)
+        aux_loss, aux_items = self._aux_call(aux, lead, targets, tmask, imgsz)
         total = lead_loss + self.AUX_WEIGHT * aux_loss
         return total, lead_items + self.AUX_WEIGHT * aux_items
 
-    def _aux_call(self, p, targets, tmask, imgsz):
-        # identical loss body but candidates built with bias=1.0
+    def _aux_call(self, p, lead_p, targets, tmask, imgsz):
+        # identical loss body but candidates built with bias=1.0; matching
+        # cost comes from lead_p, loss rows from p (the aux head)
         h = self.hyp
         bs, M = tmask.shape
-        sel = self._simota_select(p, targets, tmask, imgsz, bias=1.0)
-        fields, anch, lvl, rows = sel["fields"], sel["anch"], sel["lvl"], sel["rows"]
+        sel = self._simota_select(lead_p, targets, tmask, imgsz, bias=1.0,
+                                  loss_rows_from=p)
+        fields, anch, lvl, rows = sel["fields"], sel["anch"], sel["lvl"], sel["loss_rows"]
         idxs, fgs, matched_gts = sel["idxs"], sel["fgs"], sel["matched_gts"]
         flat_idx = idxs.reshape(-1)
         fg = fgs.reshape(-1)

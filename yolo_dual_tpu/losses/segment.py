@@ -121,7 +121,10 @@ class ComputeSegmentLoss(ComputeLoss):
                 marea = xywhn_j[..., 2] * xywhn_j[..., 3]
                 mxyxy = xywh2xyxy(xywhn_j * scalev)
                 bce = bce_with_logits(pred, gt)
-                per = jax.vmap(crop_mask)(bce, mxyxy.astype(cdt)).astype(jnp.float32) \
+                # crop COORDINATES stay f32: a bf16 cast rounds box edges by
+                # up to 1 ulp (1 px past 128 mask-pixels), shifting the crop
+                # boundary vs the reference's f32 crop (advisor r2)
+                per = jax.vmap(crop_mask)(bce, mxyxy.astype(jnp.float32)).astype(jnp.float32) \
                     .mean(axis=(2, 3)) / jnp.maximum(marea, 1e-9)
                 return jnp.where(val_j, per, 0.0).sum(axis=1)              # (bs,)
 
@@ -162,10 +165,13 @@ class ComputeSegmentLoss(ComputeLoss):
         return loss * bs, jnp.stack([lbox, lseg, lobj, lcls])
 
 
-def encode_overlap_masks(instance_masks: np.ndarray, areas_sorted: bool = True) -> np.ndarray:
-    """Host helper: (n, h, w) binary instance masks -> (h, w) overlap-indexed
-    plane (value i+1), larger instances written first so smaller ones win
-    overlaps (reference utils/segment/dataloaders.py:309-331)."""
+def encode_overlap_masks(instance_masks: np.ndarray, areas_sorted: bool = True):
+    """Host helper: (n, h, w) binary instance masks -> ((h, w) overlap-indexed
+    plane (value rank+1), area-sort order). Larger instances are written
+    first so smaller ones win overlaps (reference
+    utils/segment/dataloaders.py:309-331). The polygon pipeline uses
+    data.augment.polygons2masks_overlap; this is the raw-bitmap variant for
+    callers that already hold instance masks."""
     n, hgt, wid = instance_masks.shape
     out = np.zeros((hgt, wid), np.float32)
     order = np.argsort(-instance_masks.reshape(n, -1).sum(1)) if areas_sorted else np.arange(n)

@@ -27,8 +27,11 @@ def save_checkpoint(path, state_dict: dict):
     """Save a pytree checkpoint (params/ema/opt_state/epoch/best_fitness...)."""
     path = Path(path).resolve()
     if path.exists():
-        import shutil
-        shutil.rmtree(path)
+        if path.is_dir():
+            import shutil
+            shutil.rmtree(path)
+        else:  # stray regular file at the target path — overwrite cleanly
+            path.unlink()
     _checkpointer().save(path, state_dict)
     return path
 
