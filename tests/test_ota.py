@@ -65,6 +65,40 @@ def test_auxota_runs_and_is_finite():
     assert np.isfinite(np.asarray(items)).all()
 
 
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference checkout unavailable")
+def test_auxota_loss_parity():
+    """Full AuxOTA parity vs the LIVE reference ComputeLossAuxOTA: the aux
+    branch's assignment must come from the lead head (build_targets2(p[:nl]),
+    loss_AuxOTA.py:267) with the loss evaluated on aux predictions."""
+    from test_torch_parity import _stub_torchvision
+    _stub_torchvision()
+    if str(REFERENCE) not in sys.path:
+        sys.path.insert(0, str(REFERENCE))
+    import utils.loss_AuxOTA as ref_mod
+    _orig = ref_mod.bbox_iou
+    ref_mod.bbox_iou = lambda *a, **k: _orig(*a, **k).squeeze(-1)
+    try:
+        rng = np.random.default_rng(11)
+        bs, nc, M = 2, 5, 6
+        size = 64
+        lead = rand_preds(rng, bs, nc, 0, size)
+        aux = rand_preds(rng, bs, nc, 0, size)
+        tgts, tmask, flat = make_targets(rng, bs, M, nc)
+        ref = ref_mod.ComputeLossAuxOTA(_FakeModel(nc, HYP))
+        ref_loss, ref_items = ref([torch.tensor(p) for p in lead + aux],
+                                  torch.tensor(flat), torch.zeros(bs, 3, size, size))
+
+        from yolo_dual_tpu.losses.ota import ComputeLossAuxOTA
+        ours = ComputeLossAuxOTA(ANCHORS_PX, STRIDES, nc, HYP)
+        loss, items = ours([jnp.asarray(p) for p in lead + aux], jnp.asarray(tgts),
+                           jnp.asarray(tmask), imgsz=size)
+        np.testing.assert_allclose(np.asarray(items), ref_items.numpy(),
+                                   rtol=5e-4, atol=5e-5)
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=5e-4)
+    finally:
+        ref_mod.bbox_iou = _orig
+
+
 def test_ota_gradients_flow():
     rng = np.random.default_rng(13)
     bs, nc, M = 1, 3, 4
