@@ -314,3 +314,49 @@ def test_block_nms_equals_greedy(rng):
                                                   thr, md, block=blk))
                 np.testing.assert_array_equal(
                     a, b, err_msg=f"trial {trial} thr {thr} block {blk}")
+
+
+REFERENCE = Path("/root/reference")
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference checkout unavailable")
+def test_soft_nms_oracle_parity(rng):
+    """soft_nms_padded vs the reference's soft_nms run LIVE (the drop-in
+    utils/general-softnms.py:938-967). The module itself can't be imported
+    (needs pkg_resources + a dashed filename), so the two relevant function
+    defs are extracted by ast and exec'd with torch."""
+    import ast
+
+    torch = pytest.importorskip("torch")
+    src = (REFERENCE / "utils" / "general-softnms.py").read_text()
+    tree = ast.parse(src)
+    wanted = {n for n in tree.body if isinstance(n, ast.FunctionDef)
+              and n.name in ("box_iou_for_nms", "soft_nms")}
+    ns = {"torch": torch, "math": __import__("math"), "np": np}
+    exec(compile(ast.Module(body=list(wanted), type_ignores=[]), "<ref>", "exec"), ns)
+    ref_soft_nms = ns["soft_nms"]
+
+    from yolo_dual_tpu.ops.nms import soft_nms_padded
+    for trial in range(5):
+        n = 40
+        xy = rng.uniform(0, 80, (n, 2)).astype(np.float32)
+        wh = rng.uniform(10, 40, (n, 2)).astype(np.float32)
+        boxes = np.concatenate([xy, xy + wh], 1)
+        scores = rng.uniform(0.3, 1.0, n).astype(np.float32)
+        # the reference's NMS entry pre-sorts by confidence (general-softnms
+        # :1047), which masks its keep-index-0-first quirk — match that
+        order = np.argsort(-scores)
+        boxes, scores = boxes[order], scores[order]
+
+        ref_keep = [int(i) for i in ref_soft_nms(
+            torch.tensor(boxes), torch.tensor(scores.copy()),
+            iou_thresh=0.5, sigma=0.5, score_threshold=0.25)]
+
+        keep, kept_scores = soft_nms_padded(jnp.asarray(boxes), jnp.asarray(scores),
+                                            0.5, n, sigma=0.5, score_threshold=0.25)
+        ours = [int(k) for k, s in zip(np.asarray(keep), np.asarray(kept_scores))
+                if s > 0]
+        # exact keep ORDER parity; the reference's `while order.numel() > 1`
+        # drops the final lone survivor, so we may keep at most one more
+        assert ours[:len(ref_keep)] == ref_keep, (trial, ref_keep[:8], ours[:8])
+        assert len(ours) - len(ref_keep) <= 1, (trial, len(ours), len(ref_keep))
