@@ -105,7 +105,12 @@ def predict_images(model, variables, source, imgsz: int = 640, conf_thres: float
 
     device_preprocess: letterbox+normalize on device via the Pallas fused
     kernel (kernels/preprocess.py) instead of host cv2 — the uint8 frame is
-    the only H2D transfer. Default: auto (on when the backend is TPU)."""
+    the only H2D transfer. Default: auto (on when the backend is TPU).
+
+    retina_masks: accepted for reference-CLI parity; masks are ALWAYS
+    upsampled and un-letterboxed to native image resolution before blending
+    (the reference's retina-quality rendering, segment/predict.py:168-170),
+    so the flag is a no-op rather than a downgrade switch."""
     import cv2
     if device_preprocess is None:
         device_preprocess = jax.default_backend() == "tpu"
