@@ -33,7 +33,8 @@ def run(weights="", model="yolov5n.yaml", source="", imgsz=224, cutoff=10, topk=
     import cv2
 
     from yolo_dual_tpu.data.classify import classify_transforms
-    from yolo_dual_tpu.engine.predictor import iter_source
+    from yolo_dual_tpu.engine.predictor import (iter_source, save_media_frame,
+                                                 source_stem)
     from yolo_dual_tpu.utils.plots import Annotator
 
     if update and weights and not str(weights).endswith(".pt"):
@@ -66,6 +67,7 @@ def run(weights="", model="yolov5n.yaml", source="", imgsz=224, cutoff=10, topk=
     frame_idx = {}
     for path, im0, fps in iter_source(source, vid_stride=vid_stride,
                                       max_frames=max_frames):
+        frame = frame_idx[path] = frame_idx.get(path, 0) + 1 if fps is not None else 0
         im = classify_transforms(cv2.cvtColor(im0, cv2.COLOR_BGR2RGB), imgsz)
         prob = np.asarray(fwd(variables, jnp.asarray(im[None])))[0]
         order = np.argsort(-prob)[:topk]
@@ -74,7 +76,9 @@ def run(weights="", model="yolov5n.yaml", source="", imgsz=224, cutoff=10, topk=
                     + ", ".join(f"{n} {prob[i]:.3f}" for n, i in zip(names, order)))
         results.append((str(path), order, prob[order]))
         if save_txt:
-            txt = save_dir / "labels" / (Path(path).stem + ".txt")
+            # per-frame suffix on video/stream sources (reference parity)
+            suffix = f"_{frame}" if fps is not None else ""
+            txt = save_dir / "labels" / f"{source_stem(path)}{suffix}.txt"
             txt.parent.mkdir(parents=True, exist_ok=True)
             with open(txt, "a") as f:
                 f.write(" ".join(f"{prob[i]:.2f} {n}" for n, i in zip(names, order)) + "\n")
@@ -88,18 +92,7 @@ def run(weights="", model="yolov5n.yaml", source="", imgsz=224, cutoff=10, topk=
                 cv2.imshow(str(path), frame_bgr)
                 cv2.waitKey(1)
             if not nosave:
-                if fps is not None:
-                    if path not in vid_writers:
-                        stem = Path(path).stem if Path(path).suffix else \
-                            str(path).replace("://", "_").replace("/", "_")
-                        h0, w0 = frame_bgr.shape[:2]
-                        vid_writers[path] = cv2.VideoWriter(
-                            str(save_dir / f"{stem}.mp4"),
-                            cv2.VideoWriter_fourcc(*"mp4v"), fps, (w0, h0))
-                    vid_writers[path].write(frame_bgr)
-                else:
-                    cv2.imwrite(str(save_dir / Path(path).name), frame_bgr)
-        frame_idx[path] = frame_idx.get(path, 0) + 1
+                save_media_frame(save_dir, path, frame_bgr, fps, vid_writers)
     for w in vid_writers.values():
         w.release()
     if not nosave:

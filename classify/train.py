@@ -69,15 +69,21 @@ def train(opt):
         cache=opt.cache, shuffle=False)
     nc = len(train_ds.classes)
 
-    if opt.pretrained and not Path(opt.pretrained).exists():
-        LOGGER.info("--pretrained: no local weights file given; torchvision "
-                    "release downloads need egress (utils/downloads.py has "
-                    "the URL table) - training from scratch")
     model = build_classifier(opt.model, nc, cutoff=opt.cutoff,
                              dropout=opt.dropout or 0.0)
     variables = model.module.init(jax.random.PRNGKey(opt.seed),
                                   jnp.zeros((1, opt.imgsz, opt.imgsz, 3)), train=True)
     variables = jax.tree_util.tree_map(np.asarray, variables)
+    if opt.pretrained:
+        if Path(opt.pretrained).exists():
+            # fine-tune from a local checkpoint: shape-matching leaves only
+            # (the classify head differs when nc changes)
+            from yolo_dual_tpu.train.checkpoint import partial_load
+            variables = partial_load(variables, opt.pretrained)
+        else:
+            LOGGER.info("--pretrained: no local weights file given; torchvision "
+                        "release downloads need egress (utils/downloads.py has "
+                        "the URL table) - training from scratch")
 
     hyp = dict(lr0=opt.lr0, lrf=opt.lrf, momentum=0.9, weight_decay=opt.decay,
                warmup_epochs=0.0)

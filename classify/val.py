@@ -48,8 +48,11 @@ def run(weights="", model="yolov5n.yaml", data_dir="", imgsz=224, batch_size=64,
     top1 = top5 = n = 0
     c_top1 = np.zeros(nc)
     c_n = np.zeros(nc)
+    first = None  # (images, labels, logits) captured for --plots
     for batch in loader:
         logits = np.asarray(fwd(variables, jnp.asarray(batch["image"])))
+        if first is None:
+            first = (np.asarray(batch["image"]), np.asarray(batch["label"]), logits)
         bsz = int(batch.get("n_valid", len(logits)))
         lab = np.asarray(batch["label"][:bsz])
         order = np.argsort(-logits[:bsz], axis=1)
@@ -61,14 +64,16 @@ def run(weights="", model="yolov5n.yaml", data_dir="", imgsz=224, batch_size=64,
         np.add.at(c_n, lab, 1)
     top1, top5 = top1 / max(n, 1), top5 / max(n, 1)
     LOGGER.info(f"top1 {top1:.4f} top5 {top5:.4f} over {n} images")
-    if plots:
+    if plots and first is not None:
         # first-batch mosaic with true/pred captions (reference imshow_cls,
-        # utils/plots.py:447-474)
+        # utils/plots.py:447-474); reuses the eval loop's first batch/logits
+        # (a fresh next(iter(loader)) would leak the prefetch worker thread).
+        # The dataset emits ImageNet-normalized floats — undo for display.
+        from yolo_dual_tpu.data.classify import denormalize_imagenet
         from yolo_dual_tpu.utils.plots import imshow_cls
-        batch = next(iter(loader))
-        logits = np.asarray(fwd(variables, jnp.asarray(batch["image"])))
-        f = imshow_cls(batch["image"], labels=batch["label"],
-                       pred=np.argsort(-logits, axis=1)[:, 0], names=ds.classes,
+        ims, labs, lgt = first
+        f = imshow_cls(denormalize_imagenet(ims), labels=labs,
+                       pred=np.argsort(-lgt, axis=1)[:, 0], names=ds.classes,
                        f=Path(save_dir) / "val_images.jpg")
         LOGGER.info(f"mosaic saved to {f}")
     if verbose:

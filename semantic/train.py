@@ -103,25 +103,8 @@ def train(opt):
     if opt.weights and resume_ckpt is None:
         # partial pretrained load: keep shape-matching leaves (reference
         # intersect_dicts, seg_diceloss_Resnet50.py:978-984)
-        from yolo_dual_tpu.train import load_checkpoint
-        ckpt = load_checkpoint(opt.weights)
-        src = ckpt.get("variables", ckpt)
-        if ckpt.get("ema"):
-            src = ckpt["ema"].get("ema", src)
-        import jax.tree_util as jtu
-        flat_src = dict(jtu.tree_flatten_with_path(src)[0])
-        n_hit = [0]
-
-        def take(path, leaf):
-            s = flat_src.get(path)
-            if s is not None and np.shape(s) == np.shape(leaf):
-                n_hit[0] += 1
-                return np.asarray(s)
-            return leaf
-
-        total = len(jtu.tree_leaves(variables))
-        variables = jtu.tree_map_with_path(take, variables)
-        LOGGER.info(f"loaded {n_hit[0]}/{total} leaves from {opt.weights}")
+        from yolo_dual_tpu.train.checkpoint import partial_load
+        variables = partial_load(variables, opt.weights)
 
     train_loader, dataset = create_json_segment_dataloader(
         opt.img_dir, opt.json_dir, opt.imgsz, opt.batch_size, augment=True,

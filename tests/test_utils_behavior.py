@@ -234,6 +234,22 @@ def test_freeze_layers_blocks_updates():
     assert not np.allclose(new2["model_1"]["conv"]["kernel"], 1.0)
     assert np.allclose(new2["model_2"]["bn"]["scale"], 1.0)
 
+    # repeated layers are named model_{i}_{r}: freezing keys on the LAYER
+    # index i, never the repeat index r (regression: rsplit parsed r)
+    params3 = {"model_0": {"conv": {"kernel": jnp.ones((3, 3, 2, 4))}},
+               "model_1_0": {"conv": {"kernel": jnp.ones((1, 1, 4, 4))}},
+               "model_1_7": {"conv": {"kernel": jnp.ones((1, 1, 4, 4))}},
+               "model_2_0": {"bn": {"scale": jnp.ones((4,))}}}
+    tx3 = freeze_layers(smart_optimizer(params3, "SGD", hyp), params3, [2])  # freeze 0,1
+    st3 = tx3.init(params3)
+    grads3 = jax.tree_util.tree_map(jnp.ones_like, params3)
+    updates3, st3 = tx3.update(grads3, st3, params3)
+    updates3, _ = tx3.update(grads3, st3, params3)
+    new3 = optax.apply_updates(params3, updates3)
+    assert np.allclose(new3["model_1_0"]["conv"]["kernel"], 1.0)
+    assert np.allclose(new3["model_1_7"]["conv"]["kernel"], 1.0)  # repeat 7 of layer 1 IS frozen
+    assert not np.allclose(new3["model_2_0"]["bn"]["scale"], 1.0)  # layer 2 trains
+
 
 def test_loader_sample_weights_resampling():
     from yolo_dual_tpu.data.loader import Loader

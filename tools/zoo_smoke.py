@@ -20,7 +20,7 @@ if str(ROOT) not in sys.path:
 CONFIGS = ROOT / "yolo_dual_tpu" / "configs"
 
 
-def main(glob: str, imgsz: int, profile: bool, device: str) -> int:
+def main(glob: str, imgsz: int, profile: bool, device: str, verbose: bool = False) -> int:
     from yolo_dual_tpu.utils.general import select_device
     select_device(device)
     import jax
@@ -53,7 +53,7 @@ def main(glob: str, imgsz: int, profile: bool, device: str) -> int:
         except Exception as e:  # noqa: BLE001 — per-config report, like the reference
             failures.append(rel)
             print(f"FAIL {rel}: {type(e).__name__}: {e}")
-            if "-v" in sys.argv:
+            if verbose:
                 traceback.print_exc()
     print(f"\n{len(cfgs) - len(failures)}/{len(cfgs)} configs OK"
           + (f"; failures: {[str(f) for f in failures]}" if failures else ""))
@@ -66,5 +66,7 @@ if __name__ == "__main__":
     p.add_argument("--imgsz", "--img", "--img-size", type=int, default=64)
     p.add_argument("--profile", action="store_true", help="real timed forward per config")
     p.add_argument("--device", default="")
+    p.add_argument("-v", "--verbose", action="store_true",
+                   help="full traceback on per-config failures")
     a = p.parse_args()
-    sys.exit(main(a.glob, a.imgsz, a.profile, a.device))
+    sys.exit(main(a.glob, a.imgsz, a.profile, a.device, a.verbose))

@@ -58,8 +58,13 @@ class Loader:
     def _indices(self):
         n = len(self.dataset)
         if self.sample_weights is not None and self.shuffle:
+            w = list(self.sample_weights)
+            if sum(w) <= 0:
+                # all-zero weights (e.g. --image-weights on a label-free set):
+                # random.choices would raise; fall back to uniform sampling
+                w = [1.0] * n
             idx = random.Random(self.seed + self.epoch).choices(
-                range(n), weights=list(self.sample_weights), k=n)
+                range(n), weights=w, k=n)
         else:
             idx = list(range(n))
             if self.shuffle:

@@ -89,6 +89,31 @@ def iter_source(source, vid_stride: int = 1,
             yield str(f), im, None
 
 
+def source_stem(path) -> str:
+    """Filesystem-safe stem for an output named after a source: file stem for
+    paths, sanitized URL for stream sources (rtsp://... has no suffix)."""
+    p = Path(path)
+    return p.stem if p.suffix else str(path).replace("://", "_").replace("/", "_")
+
+
+def save_media_frame(save_dir, path, frame_bgr: np.ndarray, fps: Optional[float],
+                     vid_writers: dict) -> None:
+    """Write one output frame: still image -> <save_dir>/<name>; video/stream
+    frame -> one mp4 VideoWriter per source, created lazily and keyed by
+    source path (reference segment/predict.py:206-215). Caller releases the
+    writers in `vid_writers` when the source loop ends."""
+    import cv2
+    if fps is not None:
+        if path not in vid_writers:
+            outp = Path(save_dir) / f"{source_stem(path)}.mp4"
+            h, w = frame_bgr.shape[:2]
+            vid_writers[path] = cv2.VideoWriter(
+                str(outp), cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+        vid_writers[path].write(np.ascontiguousarray(frame_bgr))
+    else:
+        cv2.imwrite(str(Path(save_dir) / Path(path).name), frame_bgr)
+
+
 def predict_images(model, variables, source, imgsz: int = 640, conf_thres: float = 0.25,
                    iou_thres: float = 0.45, max_det: int = 300, nm: int = 32,
                    classes=None, agnostic_nms: bool = False, retina_masks: bool = False,
@@ -154,8 +179,10 @@ def predict_images(model, variables, source, imgsz: int = 640, conf_thres: float
     results = []
     dt = [Profile(), Profile(), Profile()]
     vid_writers = {}   # path -> cv2.VideoWriter (reference predict.py:206-215)
+    frame_idx = {}     # path -> running frame number for video/stream sources
     for path, im0, fps in iter_source(source, vid_stride=vid_stride,
                                       max_frames=max_frames):
+        frame = frame_idx[path] = frame_idx.get(path, 0) + 1 if fps is not None else 0
         with dt[0]:
             im = cv2.cvtColor(im0, cv2.COLOR_BGR2RGB)
             if device_preprocess:
@@ -209,8 +236,11 @@ def predict_images(model, variables, source, imgsz: int = 640, conf_thres: float
                                      / f"{Path(path).stem}.jpg", BGR=False)
                 if save_txt:
                     # normalized xywh rows, conf only with --save-conf
-                    # (reference segment/predict.py:160-165 save_one_txt format)
-                    txt = Path(save_dir) / "labels" / (Path(path).stem + ".txt")
+                    # (reference segment/predict.py:160-165 save_one_txt format);
+                    # video/stream frames get a per-frame suffix like the
+                    # reference's txt_path + f'_{frame}' so rows stay attributable
+                    suffix = f"_{frame}" if fps is not None else ""
+                    txt = Path(save_dir) / "labels" / f"{source_stem(path)}{suffix}.txt"
                     txt.parent.mkdir(parents=True, exist_ok=True)
                     h0, w0 = im0.shape[:2]
                     with open(txt, "a") as f:
@@ -222,21 +252,8 @@ def predict_images(model, variables, source, imgsz: int = 640, conf_thres: float
                                 row.append(float(conf))
                             f.write(" ".join(f"{v:g}" for v in row) + "\n")
             if save_img:
-                frame_bgr = annotator.result()[..., ::-1]
-                if fps is not None:
-                    # video/stream frame -> one VideoWriter per source
-                    # (fixes the r1 last-frame-overwrite; reference
-                    # segment/predict.py:206-215)
-                    if path not in vid_writers:
-                        stem = Path(path).stem if Path(path).suffix else str(path).replace("://", "_").replace("/", "_")
-                        outp = Path(save_dir) / f"{stem}.mp4"
-                        h0, w0 = im0.shape[:2]
-                        vid_writers[path] = cv2.VideoWriter(
-                            str(outp), cv2.VideoWriter_fourcc(*"mp4v"), fps, (w0, h0))
-                    vid_writers[path].write(np.ascontiguousarray(frame_bgr))
-                else:
-                    outp = Path(save_dir) / Path(path).name
-                    cv2.imwrite(str(outp), frame_bgr)
+                save_media_frame(save_dir, path, annotator.result()[..., ::-1],
+                                 fps, vid_writers)
             if view_img:
                 cv2.imshow(str(path), annotator.result()[..., ::-1])
                 cv2.waitKey(1)

@@ -46,6 +46,32 @@ def load_checkpoint(path, target=None):
     return _checkpointer().restore(Path(path).resolve())
 
 
+def partial_load(variables: dict, path) -> dict:
+    """Load shape-matching leaves from a checkpoint into `variables`
+    (reference intersect_dicts partial pretrained load,
+    seg_diceloss_Resnet50.py:978-984). Prefers the checkpoint's EMA weights
+    when present. Returns the updated pytree; logs hit count."""
+    import jax.tree_util as jtu
+    ckpt = load_checkpoint(path)
+    src = ckpt.get("variables", ckpt)
+    if isinstance(ckpt, dict) and ckpt.get("ema"):
+        src = ckpt["ema"].get("ema", src)
+    flat_src = dict(jtu.tree_flatten_with_path(src)[0])
+    n_hit = [0]
+
+    def take(p, leaf):
+        s = flat_src.get(p)
+        if s is not None and np.shape(s) == np.shape(leaf):
+            n_hit[0] += 1
+            return np.asarray(s)
+        return leaf
+
+    total = len(jtu.tree_leaves(variables))
+    out = jtu.tree_map_with_path(take, variables)
+    LOGGER.info(f"loaded {n_hit[0]}/{total} leaves from {path}")
+    return out
+
+
 def strip_optimizer(path, out: Optional[str] = None):
     """Drop optimizer state + swap params for EMA in a saved checkpoint
     (reference utils/general.py:1004-1018)."""

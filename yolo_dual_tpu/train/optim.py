@@ -274,7 +274,9 @@ def freeze_layers(tx: optax.GradientTransformation, params,
 
     def is_frozen(path, _):
         top = getattr(path[0], "key", str(path[0]))
-        return top.startswith("model_") and int(top.rsplit("_", 1)[1]) in frozen
+        # repeated layers are named model_{i}_{r}: the LAYER index is the
+        # first numeric segment, not the last (rsplit would key by repeat)
+        return top.startswith("model_") and int(top.split("_")[1]) in frozen
 
     mask = jax.tree_util.tree_map_with_path(is_frozen, params)
     n = sum(jax.tree_util.tree_leaves(

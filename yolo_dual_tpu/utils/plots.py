@@ -268,7 +268,8 @@ def plot_evolve(evolve_csv="evolve.csv"):
 def plot_val_study(file="", dir=".", x=None):
     """Speed-vs-mAP study curves from study_*.txt files written by
     `segment/val.py --task study` (reference utils/plots.py:356-399).
-    Row layout: 8 metrics [P,R,mAP50,mAP]x{box,mask} + 3 times [pre,inf,post]."""
+    Row layout: 8 metrics [P,R,mAP50,mAP]x{box,mask} + 3 times [pre,inf,post].
+    `x`: the swept image sizes, used to annotate each point (one per row)."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -282,6 +283,10 @@ def plot_val_study(file="", dir=".", x=None):
         j = int(y[3].argmax()) + 1  # stop at peak box mAP (reference :374)
         ax.plot(y[9, :j], y[3, :j] * 100, ".-", linewidth=2, markersize=8,
                 label=f.stem.replace("study_", ""))
+        if x is not None:
+            for xi, tx, ty in zip(list(x)[:j], y[9, :j], y[3, :j] * 100):
+                ax.annotate(str(int(xi)), (tx, ty), textcoords="offset points",
+                            xytext=(4, 4), fontsize=7, alpha=0.7)
     ax.set_xlabel("inference time (ms/img)")
     ax.set_ylabel("box mAP50-95")
     ax.grid(alpha=0.2)
