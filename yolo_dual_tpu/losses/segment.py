@@ -98,61 +98,33 @@ class ComputeSegmentLoss(ComputeLoss):
             xywhn = asgn.xywhn[idx]                                        # (bs, C, 4)
 
             # The (bs, C, mh, mw) lattice is the biggest tensor in the train
-            # step (C=3*na*M rows vs typically ~tens of real positives), so it
-            # is processed in chunks of `ck` rows with a runtime skip: the
-            # compaction is validity-first, live rows form a per-image prefix,
-            # and lax.cond on the scalar any(valid) executes only live chunks
-            # on-device (zero work for all-padding chunks; exact same sums).
+            # step (C=3*na*M rows vs typically ~tens of real positives), but
+            # it is computed in ONE shot: a chunked lax.scan-with-cond variant
+            # that skipped all-padding chunks was measured 10x SLOWER fwd+bwd
+            # on TPU (7.4 ms vs 0.7 ms per level at C=128 — scan serializes,
+            # cond blocks fusion, and the scan backward saves per-iteration
+            # residuals; tools/bench_mask_branch.py). Dense rows are MXU food.
             # Elementwise work stays in the proto dtype (bf16 under the mixed-
             # precision policy); accumulation back to scalars is f32.
             cdt = proto.dtype
             scalev = jnp.asarray([mw, mh, mw, mh], jnp.float32)
-
-            def chunk_sum(pm_j, tidx_j, xywhn_j, val_j):
-                """Per-image sums of box-normalized mask BCE for one chunk."""
-                pred = jnp.einsum("bkn,bhwn->bkhw", pm_j.astype(cdt), proto,
-                                  preferred_element_type=jnp.float32).astype(cdt)
-                if self.overlap:
-                    gt = (masks[:, None] == (tidx_j + 1)[..., None, None]
-                          .astype(masks.dtype)).astype(cdt)
-                else:
-                    gt = jnp.take_along_axis(masks, tidx_j[..., None, None],
-                                             axis=1).astype(cdt)
-                marea = xywhn_j[..., 2] * xywhn_j[..., 3]
-                mxyxy = xywh2xyxy(xywhn_j * scalev)
-                bce = bce_with_logits(pred, gt)
-                # crop COORDINATES stay f32: a bf16 cast rounds box edges by
-                # up to 1 ulp (1 px past 128 mask-pixels), shifting the crop
-                # boundary vs the reference's f32 crop (advisor r2)
-                per = jax.vmap(crop_mask)(bce, mxyxy.astype(jnp.float32)).astype(jnp.float32) \
-                    .mean(axis=(2, 3)) / jnp.maximum(marea, 1e-9)
-                return jnp.where(val_j, per, 0.0).sum(axis=1)              # (bs,)
-
-            ck = min(32, capacity)
-            nch = -(-capacity // ck)
-            if nch * ck > capacity:
-                padn = nch * ck - capacity
-                pmask = jnp.pad(pmask, ((0, 0), (0, padn), (0, 0)))
-                tidx = jnp.pad(tidx, ((0, 0), (0, padn)), constant_values=-1)
-                xywhn = jnp.pad(xywhn, ((0, 0), (0, padn), (0, 0)))
-                val = jnp.pad(val, ((0, 0), (0, padn)))
-            # lax.scan over chunks (not a Python loop): the chunk body — and
-            # its backward — is traced/compiled once per level instead of nch
-            # times, while the cond still skips all-padding chunks at runtime.
-            pm_s = pmask.reshape(bs, nch, ck, self.nm).swapaxes(0, 1)
-            ti_s = tidx.reshape(bs, nch, ck).swapaxes(0, 1)
-            xw_s = xywhn.reshape(bs, nch, ck, 4).swapaxes(0, 1)
-            v_s = val.reshape(bs, nch, ck).swapaxes(0, 1)
-
-            def scan_body(acc, xs):
-                pm_j, ti_j, xw_j, v_j = xs
-                s = jax.lax.cond(jnp.any(v_j),
-                                 lambda: chunk_sum(pm_j, ti_j, xw_j, v_j),
-                                 lambda: jnp.zeros((bs,), jnp.float32))
-                return acc + s, None
-
-            acc, _ = jax.lax.scan(scan_body, jnp.zeros((bs,), jnp.float32),
-                                  (pm_s, ti_s, xw_s, v_s))
+            pred = jnp.einsum("bkn,bhwn->bkhw", pmask.astype(cdt), proto,
+                              preferred_element_type=jnp.float32).astype(cdt)
+            if self.overlap:
+                gt = (masks[:, None] == (tidx + 1)[..., None, None]
+                      .astype(masks.dtype)).astype(cdt)
+            else:
+                gt = jnp.take_along_axis(masks, tidx[..., None, None],
+                                         axis=1).astype(cdt)
+            marea = xywhn[..., 2] * xywhn[..., 3]
+            mxyxy = xywh2xyxy(xywhn * scalev)
+            bce = bce_with_logits(pred, gt)
+            # crop COORDINATES stay f32: a bf16 cast rounds box edges by
+            # up to 1 ulp (1 px past 128 mask-pixels), shifting the crop
+            # boundary vs the reference's f32 crop (advisor r2)
+            per = jax.vmap(crop_mask)(bce, mxyxy.astype(jnp.float32)).astype(jnp.float32) \
+                .mean(axis=(2, 3)) / jnp.maximum(marea, 1e-9)
+            acc = jnp.where(val, per, 0.0).sum(axis=1)                     # (bs,)
             # per-image mean over instances, summed over images (reference :89-95)
             cnt = jnp.maximum(val.sum(1).astype(jnp.float32), 1.0)
             lseg = lseg + (acc / cnt).sum()
