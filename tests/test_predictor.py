@@ -57,8 +57,16 @@ def test_video_in_annotated_video_out(tmp_path):
     nm = model.spec.layers[-1].kw()["nm"]
     save_dir = tmp_path / "out"
     results = predict_images(model, variables, clip, imgsz=64, conf_thres=0.01,
-                             nm=nm, save_dir=str(save_dir), save_img=True)
+                             nm=nm, save_dir=str(save_dir), save_img=True,
+                             save_txt=True)
     assert len(results) == 4  # one result per frame, not last-frame-only
+    # per-frame label files (reference txt_path + f'_{frame}'), not one
+    # interleaved file
+    label_files = sorted(p.name for p in Path(str(save_dir)).parent
+                         .rglob("labels/*.txt"))
+    if any(len(r) for r in results):
+        assert label_files == [f"clip_{i}.txt" for i in range(1, 5) if len(results[i - 1])], \
+            label_files
     outs = list(Path(str(save_dir)).parent.rglob("clip.mp4"))
     # predict_images increments save_dir; find the written clip under it
     outs = [p for p in outs if p != clip]
