@@ -17,6 +17,7 @@ ROOT = FILE.parents[1]
 if str(ROOT) not in sys.path:
     sys.path.insert(0, str(ROOT))
 
+import jax
 import numpy as np
 
 from yolo_dual_tpu.data import create_dataloader
@@ -61,9 +62,17 @@ def run(data="coco128-seg.yaml", weights="", cfg="yolov5s-seg.yaml", batch_size=
         single_cls=False, verbose=False, soft_nms=False, mask_ratio=4, plots=False,
         save_dir=None, augment=False, save_json=False, rect=False, cache=False,
         fuse=True, device="", save_txt=False, save_conf=False, save_hybrid=False,
-        project="runs/val-seg", name="exp", exist_ok=False, **kw):
+        project="runs/val-seg", name="exp", exist_ok=False, data_parallel=False, **kw):
     from yolo_dual_tpu.utils.general import increment_path, select_device
     select_device(device)
+    mesh = None
+    if data_parallel and jax.device_count() > 1:
+        from yolo_dual_tpu.parallel import make_mesh
+        mesh = make_mesh()
+        if batch_size % mesh.devices.size:
+            batch_size = -(-batch_size // mesh.devices.size) * mesh.devices.size
+            LOGGER.info(f"--data-parallel: batch size rounded up to {batch_size} "
+                        f"({mesh.devices.size} devices)")
     if save_dir is None:
         if save_txt or save_json or plots:
             save_dir = str(increment_path(Path(project) / name, exist_ok=exist_ok,
@@ -98,7 +107,8 @@ def run(data="coco128-seg.yaml", weights="", cfg="yolov5s-seg.yaml", batch_size=
                                      augment=augment, save_json=save_json,
                                      anno_json=anno_json, class_map=class_map,
                                      fuse=fuse, save_txt=save_txt,
-                                     save_conf=save_conf, save_hybrid=save_hybrid)
+                                     save_conf=save_conf, save_hybrid=save_hybrid,
+                                     mesh=mesh)
     if save_txt:
         LOGGER.info(f"labels saved to {Path(save_dir) / 'labels'}")
     return mean, maps, t
@@ -137,6 +147,8 @@ def parse_opt(argv=None):
                    help="image cache: ram or disk")
     p.add_argument("--no-fuse", dest="fuse", action="store_false",
                    help="disable conv+BN inference folding")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard eval batches over all devices (SPMD data-parallel val)")
     p.add_argument("--device", default="", help="parity flag (JAX selects devices)")
     p.add_argument("--workers", type=int, default=0, help="parity flag")
     p.add_argument("--half", action="store_true", help="parity flag (bf16 policy instead)")

@@ -32,9 +32,16 @@ CLASS_NAMES = ["sky", "building", "pole", "road", "pavement", "tree", "signsymbo
 
 def run(weights="", cfg="resnet50.yaml", img_dir="", json_dir="", imgsz=640,
         batch_size=16, nc=12, ignore_index=11, loss="dice", visualize=False,
-        project="runs/val-semantic", name="exp", device="", **kw):
+        project="runs/val-semantic", name="exp", device="", data_parallel=False, **kw):
+    import jax
     from yolo_dual_tpu.utils.general import select_device
     select_device(device)
+    mesh = None
+    if data_parallel and jax.device_count() > 1:
+        from yolo_dual_tpu.parallel import make_mesh
+        mesh = make_mesh()
+        if batch_size % mesh.devices.size:
+            batch_size = -(-batch_size // mesh.devices.size) * mesh.devices.size
     cfg_path = Path(cfg) if Path(cfg).exists() else CONFIGS / "semantic" / cfg
     model = SemanticSegModel(cfg_path, nc=nc)
     variables = model.init(imgsz=imgsz)
@@ -50,7 +57,7 @@ def run(weights="", cfg="resnet50.yaml", img_dir="", json_dir="", imgsz=640,
     loss_fn = SemanticSegLoss(nc, flavor=loss)
     (miou, vloss, _, _), per_cls, t = evaluate_semantic(
         model, variables, loader, nc, ignore_index=ignore_index, loss_fn=loss_fn,
-        verbose=True, names=dict(enumerate(CLASS_NAMES)))
+        verbose=True, names=dict(enumerate(CLASS_NAMES)), mesh=mesh)
     if visualize:
         import jax.numpy as jnp
         import cv2
@@ -82,6 +89,8 @@ def parse_opt(argv=None):
     p.add_argument("--visualize", action="store_true")
     p.add_argument("--project", default=str(ROOT / "runs" / "val-semantic"))
     p.add_argument("--name", default="exp")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard eval batches over all devices (SPMD data-parallel val)")
     p.add_argument("--device", default="", help="parity flag")
     return p.parse_args(argv)
 

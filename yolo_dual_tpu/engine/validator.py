@@ -32,13 +32,26 @@ def evaluate_segment(model, variables, loader, nc: int, conf_thres: float = 0.00
                      augment: bool = False, save_json: bool = False,
                      anno_json=None, class_map=None, fuse: bool = True,
                      save_txt: bool = False, save_conf: bool = False,
-                     save_hybrid: bool = False):
-    """Returns ((mp,mr,map50,map)*box+(…)*mask, per-class maps, times_ms)."""
+                     save_hybrid: bool = False, mesh=None):
+    """Returns ((mp,mr,map50,map)*box+(…)*mask, per-class maps, times_ms).
+
+    mesh: optional jax.sharding.Mesh — data-parallel evaluation: params are
+    replicated once, every batch is sharded over the mesh's 'data' axis and
+    the whole jitted forward+NMS+TP-matching pipeline runs SPMD across chips
+    (the reference's val loop is single-GPU; this is the TPU-native scale-out,
+    same mechanism as training's DP in parallel/mesh.py). Metrics are exactly
+    the single-device ones (tests/test_trainer.py::test_eval_data_parallel)."""
     can_raw = hasattr(model, "spec") and model.spec.layers[-1].name == "Segment"
     if fuse and hasattr(model, "fuse"):
         # conv+BN weight folding for inference (reference val.py attempt_load
         # → model.fuse()); forward ≡ unfused, compiles without the BN chain
         model, variables = model.fuse(variables)
+    if mesh is not None:
+        from yolo_dual_tpu.parallel.mesh import replicate, shard_batch
+        variables = replicate(variables, mesh)
+        _shard = lambda d: shard_batch(d, mesh)  # noqa: E731
+    else:
+        _shard = None
     if can_raw:
         head_kw = model.spec.layers[-1].kw()
         anchors, strides = head_kw["anchors"], head_kw["strides"]
@@ -116,13 +129,19 @@ def evaluate_segment(model, variables, loader, nc: int, conf_thres: float = 0.00
     dt = [Profile(), Profile(), Profile()]
     seen = 0
     for batch in loader:
-        image = jnp.asarray(batch["image"])
+        if _shard is not None:
+            dev_batch = _shard({"image": batch["image"], "targets": batch["targets"],
+                                "tmask": batch["tmask"], "masks": batch["masks"]})
+        else:
+            dev_batch = {k: jnp.asarray(batch[k])
+                         for k in ("image", "targets", "tmask", "masks")}
+        image = dev_batch["image"]
         with dt[0]:
             image = jax.block_until_ready(image)
         with dt[1]:
             out, n_valid, protos, cb, cm = jax.block_until_ready(eval_batch(
-                variables, image, jnp.asarray(batch["targets"]),
-                jnp.asarray(batch["tmask"]), jnp.asarray(batch["masks"])))
+                variables, image, dev_batch["targets"],
+                dev_batch["tmask"], dev_batch["masks"]))
         h, w = image.shape[1:3]
         bsz = int(batch.get("n_valid", image.shape[0]))
         with dt[2]:
@@ -232,9 +251,15 @@ def evaluate_segment(model, variables, loader, nc: int, conf_thres: float = 0.00
 
 
 def evaluate_semantic(model, variables, loader, nc: int, ignore_index: Optional[int] = 11,
-                      loss_fn=None, verbose: bool = False, names=None):
+                      loss_fn=None, verbose: bool = False, names=None, mesh=None):
     """Semantic mIoU evaluation (reference val_diceloss.py:148-293).
-    Returns ((miou, avg_loss, 0, 0), per_class_iou, times_ms)."""
+    Returns ((miou, avg_loss, 0, 0), per_class_iou, times_ms).
+
+    mesh: optional Mesh — batch sharded over 'data', params replicated
+    (data-parallel eval; see evaluate_segment)."""
+    if mesh is not None:
+        from yolo_dual_tpu.parallel.mesh import replicate, shard_batch
+        variables = replicate(variables, mesh)
 
     @jax.jit
     def forward(variables, image):
@@ -251,7 +276,10 @@ def evaluate_semantic(model, variables, loader, nc: int, ignore_index: Optional[
     seen = 0
     dt = Profile()
     for batch in loader:
-        image = jnp.asarray(batch["image"])
+        if mesh is not None:
+            image = shard_batch({"image": batch["image"]}, mesh)["image"]
+        else:
+            image = jnp.asarray(batch["image"])
         with dt:
             out = jax.block_until_ready(forward(variables, image))
         bsz = int(batch.get("n_valid", image.shape[0]))

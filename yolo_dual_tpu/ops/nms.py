@@ -372,6 +372,8 @@ def nms_from_raw(raw, anchors, strides, conf_thres: float = 0.25,
     """
     no = raw[0].shape[-1]
     nc = no - nm - 5
+    assert nc >= 1, (f"nms_from_raw: raw head maps have {no} channels but nm={nm} "
+                     f"implies {nc} classes; pass the model's nm")
     bs = raw[0].shape[0]
     shapes = tuple((p.shape[1], p.shape[2], p.shape[3]) for p in raw)
     grid, anch, strd = _candidate_tables(shapes, anchors, strides, order="yxa")
