@@ -205,3 +205,29 @@ def test_ota_loss_parity_conflict_dense():
         np.testing.assert_allclose(float(loss), float(ref_loss), rtol=5e-2)
     finally:
         ref_mod.bbox_iou = _orig_iou
+
+
+def test_ota_nonsquare_pixel_scale():
+    """Derived pixel space must be PER-AXIS on non-square inputs: calling
+    without imgsz equals calling with an explicit [W, H, W, H] scale (advisor
+    r2 — a scalar ny*stride compressed GT x/width on rect inputs)."""
+    from yolo_dual_tpu.losses.ota import ComputeLossOTA
+
+    rng = np.random.default_rng(5)
+    bs, nc, M = 2, 5, 6
+    h, w = 64, 128  # non-square: ny != nx at every level
+    preds = [rng.standard_normal((bs, 3, h // s, w // s, 5 + nc)).astype(np.float32)
+             for s in STRIDES]
+    tgts, tmask, _ = make_targets(rng, bs, M, nc)
+
+    ours = ComputeLossOTA(ANCHORS_PX, STRIDES, nc, HYP)
+    jp = [jnp.asarray(p) for p in preds]
+    loss_auto, items_auto = ours(jp, jnp.asarray(tgts), jnp.asarray(tmask))
+    scale = jnp.asarray([w, h, w, h], jnp.float32)
+    loss_explicit, items_explicit = ours(jp, jnp.asarray(tgts), jnp.asarray(tmask),
+                                         imgsz=scale)
+    np.testing.assert_allclose(float(loss_auto), float(loss_explicit), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(items_auto), np.asarray(items_explicit), rtol=1e-6)
+    # and the per-axis space differs from the old scalar-H behavior
+    loss_scalar, _ = ours(jp, jnp.asarray(tgts), jnp.asarray(tmask), imgsz=float(h))
+    assert abs(float(loss_auto) - float(loss_scalar)) > 1e-7

@@ -153,13 +153,13 @@ def copy_paste(im, labels, segments, p=0.5, rng=None):
     if p and n:
         h, w, _ = im.shape
         im_new = np.zeros(im.shape, np.uint8)
-        from yolo_dual_tpu.ops.boxes import bbox_ioa
-        import jax.numpy as jnp
         for j in rng.sample(range(n), k=round(p * n)):
             l, seg = labels[j], segments[j]
             box = w - l[3], l[2], w - l[1], l[4]
-            ioa = np.asarray(bbox_ioa(jnp.asarray(np.array([box], np.float32)),
-                                      jnp.asarray(labels[:, 1:5].astype(np.float32))))[0]
+            # host-side numpy IoA (no device dispatch per instance inside the
+            # CPU augment loop; ops.boxes.bbox_ioa stays the device-side twin)
+            ioa = _bbox_ioa_np(np.asarray(box, np.float32),
+                               labels[:, 1:5].astype(np.float32))
             if (ioa < 0.30).all():
                 labels = np.concatenate((labels, [[l[0], *box]]), 0)
                 segments.append(np.concatenate((w - seg[:, 0:1], seg[:, 1:2]), 1))

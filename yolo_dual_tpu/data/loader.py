@@ -104,7 +104,15 @@ class Loader:
             n_valid = len(chunk)
             if self.collate is not None:
                 samples = self.collate(samples)
+                if not samples:
+                    raise ValueError(
+                        f"collate fn returned no samples for a chunk of {bs}; "
+                        f"quad collate needs batch_size to be a multiple of 4")
                 factor = max(1, bs // max(1, len(samples)))
+                # a collated group counts as valid iff it contains >=1 real
+                # (non-pad) sample; a final quad may also mix in pad
+                # duplicates — same spirit as the reference's smaller tail
+                # batch, kept at static shape here
                 n_valid = min(len(samples), -(-n_valid // factor))
             batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
             batch["n_valid"] = np.int32(n_valid)

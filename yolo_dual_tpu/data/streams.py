@@ -65,7 +65,10 @@ class LoadStreams:
             self.fps[i] = max((fps if math.isfinite(fps) else 0) % 100, 0) or 30
             ok, self.imgs[i] = cap.read()
             assert ok, f"Failed to read from {s}"
-            self.threads[i] = threading.Thread(target=self._update, args=(i, cap, s),
+            # pass the PARSED source: a numeric webcam index must reopen as an
+            # index — cv2 treats the string "0" as a filename and reconnection
+            # would fail forever
+            self.threads[i] = threading.Thread(target=self._update, args=(i, cap, s_),
                                                daemon=True)
             LOGGER.info(f"stream {i + 1}/{n}: {s} ({w}x{h} at {self.fps[i]:.0f} FPS)")
             self.threads[i].start()

@@ -69,7 +69,7 @@ def iter_source(source, vid_stride: int = 1,
         if f.suffix.lower() in VID_EXTS:
             cap = cv2.VideoCapture(str(f))
             fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
-            n = 0
+            n = yielded = 0
             while True:
                 ok, frame = cap.read()
                 if not ok:
@@ -78,7 +78,10 @@ def iter_source(source, vid_stride: int = 1,
                 if (n - 1) % vid_stride:
                     continue
                 yield str(f), frame, fps
-                if max_frames is not None and n >= max_frames:
+                yielded += 1
+                # max_frames counts YIELDED frames for every source kind
+                # (streams count the same way), not raw decoded frames
+                if max_frames is not None and yielded >= max_frames:
                     break
             cap.release()
         else:

@@ -61,6 +61,14 @@ class ComputeLossOTA(ComputeLoss):
         self.cand_capacity = cand_capacity  # 0 -> auto
 
     # ------------------------------------------------------------------
+    def _pixel_scale(self, p):
+        """[W, H, W, H] xywh scale from the first level's grid (nx·stride,
+        ny·stride) — per-axis so non-square inputs scale GT boxes into the
+        same pixel space the candidate boxes decode in."""
+        ny, nx = p[0].shape[2], p[0].shape[3]
+        s = float(self.strides[0])
+        return jnp.asarray([nx * s, ny * s, nx * s, ny * s], jnp.float32)
+
     def _simota_select(self, p, targets, tmask, imgsz, bias: float = 0.5,
                        levels=None, loss_rows_from=None):
         """Returns per-candidate matched assignment (compacted, per image):
@@ -188,10 +196,12 @@ class ComputeLossOTA(ComputeLoss):
         h = self.hyp
         bs, M = tmask.shape
         if imgsz is None:
-            # derive pixel space from the level shapes (ny·stride) so callers
-            # that don't plumb imgsz (Trainer._forward_loss) stay correct at
-            # any resolution (advisor finding r1)
-            imgsz = p[0].shape[2] * self.strides[0]
+            # derive the pixel space PER AXIS from the level shapes
+            # (ny·stride, nx·stride) so callers that don't plumb imgsz
+            # (Trainer._forward_loss) stay correct at any resolution,
+            # including non-square inputs (advisor finding r1; xywh scale
+            # order is [W, H, W, H])
+            imgsz = self._pixel_scale(p)
         sel = self._simota_select(p, targets, tmask, imgsz)
         fields, anch, lvl, rows = sel["fields"], sel["anch"], sel["lvl"], sel["rows"]
         idxs, fgs, matched_gts = sel["idxs"], sel["fgs"], sel["matched_gts"]
@@ -263,7 +273,7 @@ class ComputeLossAuxOTA(ComputeLossOTA):
     def __call__(self, p, targets, tmask, imgsz=None):
         nl = self.nl
         if imgsz is None:
-            imgsz = p[0].shape[2] * self.strides[0]
+            imgsz = self._pixel_scale(p)
         lead, aux = list(p[:nl]), list(p[nl:])
         lead_loss, lead_items = ComputeLossOTA.__call__(self, lead, targets, tmask, imgsz)
         # aux branch: wider (bias-1.0) candidate set, assignment from the

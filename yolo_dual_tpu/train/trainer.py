@@ -149,8 +149,16 @@ class Trainer:
                 if self.accumulate > 1:
                     # params only change on MultiSteps boundaries; advancing
                     # the EMA ramp on no-op micro-steps would speed it up
-                    # `accumulate`× vs the reference (advisor finding r1)
-                    boundary = (state.step + 1) % self.accumulate == 0
+                    # `accumulate`× vs the reference (advisor finding r1).
+                    # Read the boundary from the MultiSteps counter itself —
+                    # mini_step wraps to 0 exactly when the inner update just
+                    # applied — so it stays in phase across --resume, where
+                    # TrainState.step restarts at 0 but the restored
+                    # opt_state keeps its mid-cycle value (advisor r2).
+                    if hasattr(opt_state, "mini_step"):
+                        boundary = opt_state.mini_step == 0
+                    else:
+                        boundary = (state.step + 1) % self.accumulate == 0
                     new_ema = jax.tree_util.tree_map(
                         lambda n, o: jnp.where(boundary, n, o), new_ema, state.ema)
                 ema_state = new_ema
