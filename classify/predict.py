@@ -50,9 +50,10 @@ def run(weights="", model="yolov5n.yaml", source="", imgsz=224, cutoff=10, topk=
         classes = list(ckpt.get("classes", [])) or None
         if classes:
             nc = len(classes)
-        variables = ckpt.get("variables")
-        if ckpt.get("ema"):
-            variables = ckpt["ema"].get("ema", variables)
+        if ckpt.get("ema") and isinstance(ckpt["ema"], dict) and ckpt["ema"].get("ema"):
+            variables = ckpt["ema"]["ema"]
+        else:
+            variables = ckpt.get("variables")
     m = build_classifier(model, nc, cutoff=cutoff)
     if variables is None:
         variables = m.module.init(jax.random.PRNGKey(0), jnp.zeros((1, imgsz, imgsz, 3)), train=False)

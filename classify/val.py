@@ -35,10 +35,8 @@ def run(weights="", model="yolov5n.yaml", data_dir="", imgsz=224, batch_size=64,
     m = build_classifier(model, len(ds.classes), cutoff=cutoff)
     variables = m.module.init(jax.random.PRNGKey(0), jnp.zeros((1, imgsz, imgsz, 3)), train=False)
     if weights:
-        ckpt = load_checkpoint(weights)
-        variables = ckpt.get("variables", variables)
-        if ckpt.get("ema"):
-            variables = ckpt["ema"].get("ema", variables)
+        from yolo_dual_tpu.io.weights import resolve_variables
+        variables = resolve_variables(m, weights, variables)
 
     @jax.jit
     def fwd(v, x):

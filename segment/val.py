@@ -43,17 +43,8 @@ def load_model_and_weights(weights, cfg, nc, imgsz):
     model = SegmentationModel(find_cfg(cfg, "segment", "models"), nc=nc)
     variables = model.init(imgsz=imgsz)
     if weights:
-        if str(weights).endswith(".pt"):
-            from yolo_dual_tpu.io import import_torch_state_dict, load_torch_checkpoint
-            sd = load_torch_checkpoint(weights)
-            variables = import_torch_state_dict(variables, sd, spec=model.spec, strict=False)
-        else:
-            from yolo_dual_tpu.train import load_checkpoint
-            ckpt = load_checkpoint(weights)
-            v = ckpt.get("variables", ckpt)
-            if ckpt.get("ema"):
-                v = ckpt["ema"].get("ema", v)
-            variables = v
+        from yolo_dual_tpu.io.weights import resolve_variables
+        variables = resolve_variables(model, weights, variables)
     return model, variables
 
 

@@ -49,12 +49,8 @@ def run(weights="", cfg="resnet50.yaml", source="", imgsz=640, nc=12,
     model = SemanticSegModel(cfg_path, nc=nc)
     variables = model.init(imgsz=imgsz)
     if weights:
-        from yolo_dual_tpu.train import load_checkpoint
-        ckpt = load_checkpoint(weights)
-        v = ckpt.get("variables", ckpt)
-        if ckpt.get("ema"):
-            v = ckpt["ema"].get("ema", v)
-        variables = v
+        from yolo_dual_tpu.io.weights import resolve_variables
+        variables = resolve_variables(model, weights, variables)
 
     src = Path(source)
     files = sorted(p for p in (src.iterdir() if src.is_dir() else [src])

@@ -46,12 +46,8 @@ def run(weights="", cfg="resnet50.yaml", img_dir="", json_dir="", imgsz=640,
     model = SemanticSegModel(cfg_path, nc=nc)
     variables = model.init(imgsz=imgsz)
     if weights:
-        from yolo_dual_tpu.train import load_checkpoint
-        ckpt = load_checkpoint(weights)
-        v = ckpt.get("variables", ckpt)
-        if ckpt.get("ema"):
-            v = ckpt["ema"].get("ema", v)
-        variables = v
+        from yolo_dual_tpu.io.weights import resolve_variables
+        variables = resolve_variables(model, weights, variables)
     loader, ds = create_json_segment_dataloader(img_dir, json_dir, imgsz, batch_size,
                                                 augment=False, num_classes=nc, drop_last=False)
     loss_fn = SemanticSegLoss(nc, flavor=loss)

@@ -147,3 +147,18 @@ def test_new_plot_helpers(tmp_path, rng):
     f3 = plot_lr_scheduler(lr, 200, tmp_path)
     for f in (f1, f2, f3):
         assert f.exists() and f.stat().st_size > 2000, f
+
+
+def test_check_dataset_resolves_test_split(tmp_path):
+    """--task test consumes data['test']; it must resolve against `path:`
+    like train/val (advisor r2)."""
+    import yaml
+    from yolo_dual_tpu.utils.general import check_dataset
+    (tmp_path / "images" / "test").mkdir(parents=True)
+    dy = tmp_path / "d.yaml"
+    dy.write_text(yaml.safe_dump(dict(path=str(tmp_path), train="images/test",
+                                      val="images/test", test="images/test",
+                                      names=["a"])))
+    data = check_dataset(dy)
+    for k in ("train", "val", "test"):
+        assert data[k] == str(tmp_path / "images" / "test"), k

@@ -18,18 +18,8 @@ from yolo_dual_tpu.utils.general import LOGGER
 
 
 def _load_variables(model, weights, imgsz: int):
-    variables = model.init(imgsz=imgsz)
-    w = str(weights)
-    if w.endswith(".pt"):
-        from yolo_dual_tpu.io import import_torch_state_dict, load_torch_checkpoint
-        sd = load_torch_checkpoint(w)
-        return import_torch_state_dict(variables, sd, spec=model.spec, strict=False)
-    from yolo_dual_tpu.train import load_checkpoint
-    ckpt = load_checkpoint(w)
-    v = ckpt.get("variables", variables)
-    if ckpt.get("ema"):
-        v = ckpt["ema"].get("ema", v)
-    return v
+    from yolo_dual_tpu.io.weights import resolve_variables
+    return resolve_variables(model, weights, model.init(imgsz=imgsz))
 
 
 class Ensemble:

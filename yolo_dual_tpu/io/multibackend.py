@@ -56,26 +56,26 @@ class MultiBackend:
             assert cfg is not None, "cfg required for orbax/torch weights"
             self.model = SegmentationModel(cfg, nc=nc)
             variables = self.model.init(imgsz=imgsz)
-            if self.kind == "torchpt":
-                from yolo_dual_tpu.io import import_torch_state_dict, load_torch_checkpoint
-                sd = load_torch_checkpoint(w)
-                variables = import_torch_state_dict(variables, sd, spec=self.model.spec,
-                                                    strict=False)
-            else:
-                from yolo_dual_tpu.train import load_checkpoint
-                ckpt = load_checkpoint(w)
-                variables = ckpt.get("variables", variables)
-                if ckpt.get("ema"):
-                    variables = ckpt["ema"].get("ema", variables)
+            from yolo_dual_tpu.io.weights import resolve_variables
+            variables = resolve_variables(self.model, w, variables)
             if fuse:
                 self.model, variables = self.model.fuse(variables)
             self.variables = variables
             model = self.model
 
+            is_segment = model.spec.layers[-1].name == "Segment"
+
             @jax.jit
             def fwd(v, x):
                 out = model.module.apply(v, x, train=False)
-                return out[0], out[1] if isinstance(out, tuple) and len(out) > 1 else None
+                if not isinstance(out, tuple):
+                    return out, None     # semantic: one dense (b,h,w,nc) map
+                if is_segment:
+                    return out[0], out[1]  # (decoded pred, protos[, raw])
+                # Detect heads return (decoded pred, raw levels) — the raw
+                # maps are NOT protos and must not leak through the
+                # (pred, protos|None) contract
+                return out[0], None
             self._fwd = fwd
         elif self.kind == "torchscript":
             import torch
@@ -102,6 +102,10 @@ class MultiBackend:
             if tuple(self._tfl_in[0]["shape"]) != x.shape:
                 interp.resize_tensor_input(self._tfl_in[0]["index"], x.shape)
                 interp.allocate_tensors()
+                # refresh cached details: the stale shape would re-trigger
+                # resize+allocate on EVERY subsequent call (per-frame realloc)
+                self._tfl_in = interp.get_input_details()
+                self._tfl_out = interp.get_output_details()
             interp.set_tensor(self._tfl_in[0]["index"], x)
             interp.invoke()
             outs = [interp.get_tensor(d["index"]) for d in self._tfl_out]

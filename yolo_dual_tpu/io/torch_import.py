@@ -147,6 +147,10 @@ def import_torch_state_dict(variables: dict, state_dict: dict, spec=None,
         head = spec.layers[-1]
         head_index = head.i
         head_is_segment = head.name == "Segment"
+        # reference semantic checkpoints root at backbone.{i}/head.{j}
+        # (reference seg_jaccardloss_Resnet50.py:355-356); head.{j} maps to
+        # our model_{n_backbone + j}
+        n_backbone = getattr(spec, "n_backbone", 0)
 
     flat_vars = {c: _flatten(variables[c]) for c in variables}
     filled = {c: set() for c in variables}
@@ -224,6 +228,14 @@ def import_torch_state_dict(variables: dict, state_dict: dict, spec=None,
             detail += [f"missing {c}:{'/'.join(p)}" for p in ps[:10]]
         detail += [f"unmatched {k}" for k in unmatched[:10]]
         raise ValueError("strict torch import failed:\n  " + "\n  ".join(detail))
+    if sum(len(s) for s in filled.values()) == 0 and state_dict:
+        # even non-strict (partial) loading must not hand back an entirely
+        # random model: a checkpoint that matches NOTHING is a wrong file or
+        # an unrecognized layout, never an intended partial load
+        raise ValueError(
+            "torch import matched 0 leaves — the checkpoint layout does not "
+            f"correspond to this model (first source keys: "
+            f"{list(state_dict)[:5]})")
     return {c: _unflatten(out[c]) for c in out}
 
 
@@ -239,7 +251,15 @@ def load_torch_checkpoint(path, reference_root=None):
     if reference_root is not None and str(reference_root) not in sys.path:
         sys.path.insert(0, str(reference_root))
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    model = ckpt.get("ema") or ckpt.get("model", ckpt)
+    model = ckpt
+    if isinstance(ckpt, dict):
+        # container conventions: reference {'model': module} / {'ema': module}
+        # (seg_diceloss_Resnet50.py:1193-1200), plus the common torch
+        # 'state_dict' / 'model_state_dict' wrappers; else a raw state_dict
+        for key in ("ema", "model", "model_state_dict", "state_dict"):
+            if ckpt.get(key) is not None:
+                model = ckpt[key]
+                break
     if hasattr(model, "state_dict"):
         model = model.float()
         sd = model.state_dict()

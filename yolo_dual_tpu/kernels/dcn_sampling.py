@@ -36,16 +36,19 @@ import numpy as np
 from yolo_dual_tpu.utils.general import LOGGER
 
 
-def _supported(x, kernel, stride, dilation):
+def _supported(x, kernel, stride, dilation, pad=1):
     b, h, w, c = x.shape
     kk = kernel * kernel
-    hin, win = h + 2, w + 2
+    hin, win = h + 2 * pad, w + 2 * pad  # padded extents scale with the
+    # layer's actual pad (kernel 5 -> pad 2, etc.), not a hardcoded 1 —
+    # otherwise the VMEM estimate under-counts and the gate admits shapes
+    # whose sel matrix blows the budget (compile fails + per-call retry)
     onehot_bytes = (w * kk) * (hin * win) * 4
     return stride == 1 and dilation == 1 and onehot_bytes <= 6 * 1024 * 1024
 
 
 def use_pallas(x, kernel: int, stride: int, dilation: int,
-               group: int, group_channels: int) -> bool:
+               group: int, group_channels: int, pad: int = 1) -> bool:
     """Dispatch heuristic for impl='auto'.
 
     The one-hot-MXU gather does hin·win/4 redundant FLOPs per corner versus
@@ -57,7 +60,7 @@ def use_pallas(x, kernel: int, stride: int, dilation: int,
     if _jax.default_backend() not in ("tpu", "axon"):
         return False
     b, h, w, c = x.shape
-    return _supported(x, kernel, stride, dilation) and h * w <= 40 * 40
+    return _supported(x, kernel, stride, dilation, pad) and h * w <= 40 * 40
 
 
 def dcnv3_core_pallas(x, offset, mask, kernel: int, stride: int, pad: int,
@@ -65,7 +68,7 @@ def dcnv3_core_pallas(x, offset, mask, kernel: int, stride: int, pad: int,
                       offset_scale: float, interpret: bool = False):
     """Pallas DCNv3 sampling; falls back to the lax core when unsupported."""
     from yolo_dual_tpu.nn.dcn import dcnv3_core
-    if not _supported(x, kernel, stride, dilation):
+    if not _supported(x, kernel, stride, dilation, pad):
         return dcnv3_core(x, offset, mask, kernel, stride, pad, dilation, group,
                           group_channels, offset_scale)
     try:
@@ -95,7 +98,7 @@ def dcnv3_sampling(x, offset, mask, kernel, stride, pad, dilation, group,
     in production, so C3_DCNV3 models train through it."""
     from yolo_dual_tpu.nn.dcn import dcnv3_core
     if impl == "pallas" or (impl == "auto" and use_pallas(
-            x, kernel, stride, dilation, group, group_channels)):
+            x, kernel, stride, dilation, group, group_channels, pad)):
         return dcnv3_core_pallas(x, offset, mask, kernel, stride, pad, dilation,
                                  group, group_channels, offset_scale)
     return dcnv3_core(x, offset, mask, kernel, stride, pad, dilation, group,

@@ -62,6 +62,9 @@ class ModelSpec:
     strides: Tuple[int, ...] = ()
     style: str = "detect"
     default_act: Optional[str] = None
+    n_backbone: int = 0   # rows in the config's `backbone:` section — needed
+    # to translate reference semantic checkpoints whose state_dict roots are
+    # backbone.{i} / head.{j} (j offsets by this; io/torch_import.py)
 
 
 # ---------------------------------------------------------------------------
@@ -448,7 +451,7 @@ def parse_config(d: dict, ch: int = 3, nc: Optional[int] = None,
     return ModelSpec(
         layers=tuple(layers), nc=model_nc, ch_in=ch, save=tuple(sorted(save)),
         out_ch=tuple(chs), anchors=anchors_t, strides=(), style=style,
-        default_act=default_act,
+        default_act=default_act, n_backbone=len(d["backbone"]),
     )
 
 

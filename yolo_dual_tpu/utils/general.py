@@ -147,7 +147,7 @@ def check_dataset(data, autodownload: bool = False) -> dict:
     """
     if isinstance(data, (str, Path)):
         data = yaml_load(data)
-    for k in ("train", "val"):
+    for k in ("train", "val", "test"):
         if k in data and data[k]:
             p = Path(data.get("path", "")) / data[k] if data.get("path") else Path(data[k])
             data[k] = str(p)
