@@ -41,7 +41,8 @@ def run(weights="", cfg="yolov5s-seg.yaml", source="data/images", imgsz=640,
     imgsz = check_img_size(imgsz, 32)
     if data:
         from yolo_dual_tpu.utils.general import check_dataset
-        d = check_dataset(find_cfg(data, "data"))
+        # names/nc only — prediction must not demand the val split on disk
+        d = check_dataset(find_cfg(data, "data"), require_splits=False)
         nc = int(d["nc"])
         names = d.get("names")
     else:

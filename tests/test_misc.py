@@ -162,3 +162,42 @@ def test_check_dataset_resolves_test_split(tmp_path):
     data = check_dataset(dy)
     for k in ("train", "val", "test"):
         assert data[k] == str(tmp_path / "images" / "test"), k
+
+
+def test_check_dataset_download_hooks(tmp_path):
+    """When val is missing, the data yaml's `download:` hook runs — bash
+    command line or inline python with the resolved dict bound as `yaml`
+    (reference utils/general.py:537-561)."""
+    import yaml
+    from yolo_dual_tpu.utils.general import check_dataset
+
+    def data_yaml(name, hook=None):
+        d = dict(path=str(tmp_path / name), train=f"images/{name}",
+                 val=f"images/{name}", names=["a"])
+        if hook:
+            d["download"] = hook
+        p = tmp_path / f"{name}.yaml"
+        p.write_text(yaml.safe_dump(d))
+        return p
+
+    # bash hook synthesizes the split
+    bash = data_yaml("b", hook=f"bash -c 'mkdir -p {tmp_path}/b/images/b'")
+    assert Path(check_dataset(bash)["val"]).exists()
+
+    # python hook sees the RESOLVED dict as `yaml`
+    py = data_yaml("p", hook="Path(yaml['val']).mkdir(parents=True)")
+    assert Path(check_dataset(py)["val"]).exists()
+
+    # missing + no hook -> clear error; autodownload=False never runs the hook
+    with pytest.raises(FileNotFoundError, match="no download"):
+        check_dataset(data_yaml("n"))
+    with pytest.raises(FileNotFoundError):
+        check_dataset(data_yaml("o", hook="Path(yaml['val']).mkdir(parents=True)"),
+                      autodownload=False)
+
+    # a hook that runs but fails to produce the split is reported as such
+    with pytest.raises(FileNotFoundError, match="still missing"):
+        check_dataset(data_yaml("f", hook="pass"))
+
+    # names-only consumers (predict) skip the split check entirely
+    assert check_dataset(data_yaml("q"), require_splits=False)["nc"] == 1

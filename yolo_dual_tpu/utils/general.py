@@ -14,6 +14,7 @@ import os
 import platform
 import random
 import re
+import subprocess
 import time
 from pathlib import Path
 
@@ -139,11 +140,14 @@ class Profile(contextlib.ContextDecorator):
         return x
 
 
-def check_dataset(data, autodownload: bool = False) -> dict:
+def check_dataset(data, autodownload: bool = True, require_splits: bool = True) -> dict:
     """Load a dataset YAML and resolve train/val/test paths (reference utils/general.py:500).
 
-    Network downloads are disabled in this build; missing datasets raise with a
-    clear message instead of attempting a fetch.
+    When the val split is missing and the YAML carries a `download:` hook,
+    executes it (reference utils/general.py:537-561): a `bash ...` command
+    line, an inline python snippet (run with the resolved dict bound as
+    `yaml`), or an http zip URL — the last needs egress and raises a clear
+    error in an offline image; the first two run locally either way.
     """
     if isinstance(data, (str, Path)):
         data = yaml_load(data)
@@ -154,6 +158,33 @@ def check_dataset(data, autodownload: bool = False) -> dict:
     if "names" in data and isinstance(data["names"], list):
         data["names"] = dict(enumerate(data["names"]))
     data.setdefault("nc", len(data.get("names", {})))
+
+    val, hook = data.get("val"), data.get("download")
+    if require_splits and val and not Path(val).exists():
+        if not (hook and autodownload):
+            raise FileNotFoundError(
+                f"Dataset val path not found: {val}"
+                + ("" if hook else " (no download: hook in the data yaml)"))
+        LOGGER.info(f"Dataset val path missing ({val}); running download hook...")
+        t0 = time.time()
+        if isinstance(hook, str) and hook.startswith("http"):
+            from yolo_dual_tpu.utils.downloads import safe_download
+            dest = Path(data.get("path") or ".") / Path(hook).name
+            dest.parent.mkdir(parents=True, exist_ok=True)
+            safe_download(hook, dest)
+            if dest.suffix == ".zip":
+                import zipfile
+                zipfile.ZipFile(dest).extractall(dest.parent)
+                dest.unlink()
+        elif isinstance(hook, str) and hook.startswith("bash "):
+            subprocess.run(hook, shell=True, check=True)
+        else:  # inline python, with the resolved dict in scope like the reference
+            exec(hook, {"yaml": data, "Path": Path})
+        ok = Path(data["val"]).exists()
+        LOGGER.info(f"Dataset download hook {'succeeded' if ok else 'FAILED'} "
+                    f"({time.time() - t0:.1f}s)")
+        if not ok:
+            raise FileNotFoundError(f"download hook ran but val path still missing: {data['val']}")
     return data
 
 
