@@ -201,3 +201,30 @@ def test_check_dataset_download_hooks(tmp_path):
 
     # names-only consumers (predict) skip the split check entirely
     assert check_dataset(data_yaml("q"), require_splits=False)["nc"] == 1
+
+
+def test_mixconv_sum_yaml_build():
+    """MixConv2d and Sum are YAML-loadable (reference whitelist
+    models/yolo.py:318 includes MixConv2d; Sum pairs multi-input rows)."""
+    from yolo_dual_tpu.models.compiler import parse_config
+    from yolo_dual_tpu.models.model import GraphModel
+
+    cfg = dict(
+        nc=2, depth_multiple=1.0, width_multiple=1.0,
+        anchors=[[10, 13, 16, 30, 33, 23]],
+        backbone=[
+            [-1, 1, "Conv", [16, 3, 2]],
+            [-1, 1, "MixConv2d", [24, [1, 3], 1]],
+            [-1, 1, "Conv", [24, 3, 1]],
+            [[-1, 1], 1, "Sum", [2, True]],
+        ],
+        head=[[[3], 1, "Detect", ["nc", "anchors"]]],
+    )
+    spec = parse_config(cfg, ch=3)
+    assert spec.layers[1].c2 == 24 and spec.layers[3].c2 == 24
+    model = GraphModel(spec)
+    x = jax.ShapeDtypeStruct((1, 32, 32, 3), jnp.float32)
+    v = jax.eval_shape(lambda xx: model.init(jax.random.PRNGKey(0), xx, train=False), x)
+    raw = jax.eval_shape(lambda vv, xx: model.apply(vv, xx, train=False, decode=False), v, x)
+    assert raw[0].shape == (1, 3, 16, 16, 7)  # na=3, 16x16 grid, no=nc+5
+    assert v["params"]["model_3"]["w"].shape == (1,)  # Sum gate param exists

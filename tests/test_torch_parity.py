@@ -14,6 +14,7 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 REFERENCE = Path("/root/reference")
@@ -188,3 +189,61 @@ def test_train_mode_raw_parity():
     raw = ours.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False, decode=False)
     for r_ref, r in zip(ref_raw, raw):
         np.testing.assert_allclose(np.asarray(r), r_ref.numpy(), rtol=2e-4, atol=2e-4)
+
+
+def test_mixconv_and_sum_oracle_parity():
+    """MixConv2d / Sum vs the live reference modules (models/experimental.py:14-57):
+    same weights, same outputs — covers the channel-split rule, grouped convs,
+    BN, and the sigmoid-gated weighted sum."""
+    _stub_torchvision()
+    if str(REFERENCE) not in sys.path:
+        sys.path.insert(0, str(REFERENCE))
+    from models.experimental import MixConv2d as RefMix, Sum as RefSum
+
+    from yolo_dual_tpu.nn.common import MixConv2d, Sum, bn_config
+
+    torch.manual_seed(0)
+    rng = np.random.default_rng(0)
+    c1 = 6
+    x = rng.normal(size=(2, c1, 8, 8)).astype(np.float32)
+
+    # equal_ch=True with c2 % len(k) != 0 exercises remainder placement;
+    # equal_ch=False params chosen so no branch rounds to zero channels
+    # (the reference itself crashes at forward when one does)
+    for equal_ch, c2, k in ((True, 10, (1, 3, 5)), (False, 24, (1, 3))):
+        ref = RefMix(c1, c2, k=k, s=1, equal_ch=equal_ch).eval()
+        ours = MixConv2d(c2, k=k, s=1, equal_ch=equal_ch)
+        with bn_config(1e-5, 0.9):  # torch BatchNorm2d defaults
+            variables = ours.init(jax.random.PRNGKey(0),
+                                  jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+            params = dict(variables["params"])
+            for i, m in enumerate(ref.m):
+                if m.weight.numel() == 0:  # reference lstsq rounded this
+                    assert f"m_{i}" not in params  # branch to 0 channels
+                    continue
+                assert params[f"m_{i}"]["kernel"].shape == tuple(
+                    m.weight.shape[k] for k in (2, 3, 1, 0)), (equal_ch, i)
+                params[f"m_{i}"] = {"kernel": m.weight.detach().numpy().transpose(2, 3, 1, 0)}
+            params["bn"] = {"scale": ref.bn.weight.detach().numpy(),
+                            "bias": ref.bn.bias.detach().numpy()}
+            stats = {"bn": {"mean": ref.bn.running_mean.numpy(),
+                            "var": ref.bn.running_var.numpy()}}
+            out = ours.apply({"params": params, "batch_stats": stats},
+                             jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+        with torch.no_grad():
+            ref_out = ref(torch.tensor(x)).numpy()
+        np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2), ref_out,
+                                   rtol=1e-5, atol=1e-5, err_msg=f"equal_ch={equal_ch}")
+
+    xs = [rng.normal(size=(2, 4, 8, 8)).astype(np.float32) for _ in range(3)]
+    for weight in (False, True):
+        ref = RefSum(3, weight=weight).eval()
+        ours = Sum(3, weight=weight)
+        v = ours.init(jax.random.PRNGKey(0), [jnp.asarray(t) for t in xs])
+        if weight:
+            np.testing.assert_allclose(np.asarray(v["params"]["w"]),
+                                       ref.w.detach().numpy())  # same init ramp
+        with torch.no_grad():
+            ref_out = ref([torch.tensor(t) for t in xs]).numpy()
+        out = ours.apply(v, [jnp.asarray(t) for t in xs])
+        np.testing.assert_allclose(np.asarray(out), ref_out, rtol=1e-6, atol=1e-6)

@@ -116,7 +116,7 @@ def _populate_registry():
         "C3SPP": C.C3SPP, "C3Ghost": C.C3Ghost, "C2f": C.C2f, "C3k2": C.C3k2,
         "GAM": C.GAM, "SPP": C.SPP, "SPPF": C.SPPF, "Focus": C.Focus,
         "GhostConv": C.GhostConv, "GhostBottleneck": C.GhostBottleneck,
-        "TransformerBlock": C.TransformerBlock, "Proto": C.Proto,
+        "TransformerBlock": C.TransformerBlock, "Proto": C.Proto, "MixConv2d": C.MixConv2d,
         "Classify": C.Classify, "nn.ConvTranspose2d": C.ConvTranspose,
         "DWConvTranspose2d": C.DWConvTranspose2d,
         "ResNetStem": B.ResNetStem, "ResNetLayer": B.ResNetLayer,
@@ -133,7 +133,7 @@ def _populate_registry():
         "Contract": C.Contract, "Expand": C.Expand,
         "nn.BatchNorm2d": C.BatchNorm2d, "nn.Softmax": C.Softmax,
         "MaxPool2d": B.MaxPool2d, "nn.MaxPool2d": B.MaxPool2d,
-        "nn.ZeroPad2d": C.ZeroPad2d,
+        "nn.ZeroPad2d": C.ZeroPad2d, "Sum": C.Sum,
     }.items():
         register_module(nm, nodtype(cls))
 
@@ -167,6 +167,7 @@ _CONVLIKE = {
     "nn.ConvTranspose2d", "DWConvTranspose2d", "C3x", "SimSPPF", "ASPP", "RFB",
     "SPPCSPC", "SPPCSPC_group", "SimCSPSPPF", "AttentionConv", "AttentionStem",
     "C3_DCN", "C2f", "C2f_DCN", "C3k2", "DCNV3_YoLo", "C3_DCNV3", "SimConv",
+    "MixConv2d",
 }
 # Modules where the compiler inserts the repeat count as an `n` kwarg.
 _REPEAT_AS_N = {
@@ -273,6 +274,13 @@ def _adapt_args(name: str, args: list, n: int, default_act) -> Tuple[dict, int]:
         return dict(zip(["c", "k", "s", "e"], a)), n
     if name in ("nn.Upsample", "Upsample"):
         return dict(zip(["size", "scale_factor", "mode"], a)), n
+    if name == "MixConv2d":
+        kw = dict(zip(["c2", "k", "s", "equal_ch"], a))
+        if "k" in kw:
+            kw["k"] = tuple(kw["k"])
+        return kw, n
+    if name == "Sum":
+        return dict(zip(["n", "weight"], a)), 1  # n here = input count, not repeats
     if name == "Concat":
         return {"d": a[0] if a else 1}, n  # align flag added by parse_config
     if name in ("Contract", "Expand"):
@@ -391,6 +399,8 @@ def parse_config(d: dict, ch: int = 3, nc: Optional[int] = None,
             args = []
         elif name == "Concat":
             c2 = sum(in_ch(x) for x in f)
+        elif name == "Sum":
+            c2 = in_ch(f[0] if isinstance(f, list) else f)
         elif name == "SegmentHead":
             c2 = args[0]
         elif name in ("Detect", "Segment"):

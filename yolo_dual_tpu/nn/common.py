@@ -551,6 +551,77 @@ class Concat(nn.Module):
         return jnp.concatenate(xs, axis=axis)
 
 
+class Sum(nn.Module):
+    """Weighted sum of n inputs (BiFPN-style fusion, arXiv:1911.09070;
+    reference models/experimental.py:14-32). With `weight=True`, inputs past
+    the first are scaled by learned gates 2·sigmoid(w_i), initialized to the
+    reference's -arange(1, n)/2 ramp."""
+
+    n: int
+    weight: bool = False
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        y = xs[0]
+        if self.weight:
+            w = 2.0 * jax.nn.sigmoid(self.param(
+                "w", lambda rng: -jnp.arange(1.0, self.n) / 2.0))
+            for i, x in enumerate(xs[1:]):
+                y = y + x * w[i]
+        else:
+            for x in xs[1:]:
+                y = y + x
+        return y
+
+
+class MixConv2d(nn.Module):
+    """Mixed depthwise kernel sizes (MixConv, arXiv:1907.09595; reference
+    models/experimental.py:35-57): output channels split across parallel
+    grouped convs of different kernel sizes, concatenated, then BN+SiLU.
+
+    Channel split: `equal_ch=True` gives each branch an equal share (earlier
+    branches take the remainder, matching the reference's linspace-floor);
+    otherwise shares are proportional to 1/k² so every branch holds roughly
+    the same number of weights — same intent as the reference's
+    least-squares formulation, stated directly.
+    """
+
+    c2: int
+    k: Sequence[int] = (1, 3)
+    s: int = 1
+    equal_ch: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        import numpy as np
+        c1, n = x.shape[-1], len(self.k)
+        if self.equal_ch:
+            # the reference assigns output channel j to branch floor(j·n/c2)
+            # (remainder lands on the LAST branches) — matched exactly so
+            # imported weights line up
+            splits = np.bincount(
+                np.floor(np.linspace(0, n - 1e-6, self.c2)).astype(int),
+                minlength=n).tolist()
+        else:
+            # equal weight count per branch: c_g ∝ 1/k_g², rounded — the
+            # closed form of the reference's least-squares system (which can
+            # round a branch to zero channels; we then skip that conv)
+            inv = 1.0 / np.asarray(self.k, np.float64) ** 2
+            splits = np.round(self.c2 * inv / inv.sum()).astype(int).tolist()
+        outs = []
+        for i, (kk, cc) in enumerate(zip(self.k, splits)):
+            if cc == 0:
+                continue
+            p = kk // 2
+            outs.append(nn.Conv(int(cc), (kk, kk), (self.s, self.s),
+                                padding=((p, p), (p, p)),
+                                feature_group_count=math.gcd(c1, int(cc)),
+                                use_bias=False, dtype=self.dtype, name=f"m_{i}")(x))
+        y = jnp.concatenate(outs, axis=-1)
+        return nn.silu(batch_norm(train, dtype=self.dtype)(y))
+
+
 class Upsample(nn.Module):
     """nn.Upsample equivalent: nearest uses exact repeat for integer factors."""
 
