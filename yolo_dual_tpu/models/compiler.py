@@ -400,7 +400,7 @@ def parse_config(d: dict, ch: int = 3, nc: Optional[int] = None,
         elif name == "Concat":
             c2 = sum(in_ch(x) for x in f)
         elif name == "Sum":
-            c2 = in_ch(f[0] if isinstance(f, list) else f)
+            c2 = in_ch(f[0] if isinstance(f, (list, tuple)) else f)
         elif name == "SegmentHead":
             c2 = args[0]
         elif name in ("Detect", "Segment"):
