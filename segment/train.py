@@ -101,7 +101,7 @@ def train(opt):
             hyp = yaml_load(find_cfg(opt.hyp, "hyps"))
     else:
         hyp = yaml_load(find_cfg(opt.hyp, "hyps"))
-    data = check_dataset(find_cfg(opt.data, "data"))
+    data = check_dataset(find_cfg(opt.data, "data"), autodownload=not getattr(opt, "no_download", False))
     yaml_save(save_dir / "hyp.yaml", hyp)
     yaml_save(save_dir / "opt.yaml", vars(opt))
     imgsz = check_img_size(opt.imgsz, 32)
@@ -329,6 +329,8 @@ def parse_opt(argv=None):
                    help="extra sinks: wandb clearml comet (no-ops if not installed)")
     p.add_argument("--device", default="", help="accepted for reference-CLI parity (JAX selects devices)")
     p.add_argument("--workers", type=int, default=0, help="accepted for parity (thread prefetch is used)")
+    p.add_argument("--no-download", action="store_true",
+                   help="refuse to execute the data yaml's download: hook")
     args = p.parse_args(argv)
     # record which flags the user actually typed: on --resume, flags NOT
     # explicitly passed are restored from the run's opt.yaml (see train())

@@ -53,7 +53,8 @@ def run(data="coco128-seg.yaml", weights="", cfg="yolov5s-seg.yaml", batch_size=
         single_cls=False, verbose=False, soft_nms=False, mask_ratio=4, plots=False,
         save_dir=None, augment=False, save_json=False, rect=False, cache=False,
         fuse=True, device="", save_txt=False, save_conf=False, save_hybrid=False,
-        project="runs/val-seg", name="exp", exist_ok=False, data_parallel=False, **kw):
+        project="runs/val-seg", name="exp", exist_ok=False, data_parallel=False,
+        no_download=False, **kw):
     from yolo_dual_tpu.utils.general import increment_path, select_device
     select_device(device)
     mesh = None
@@ -70,7 +71,7 @@ def run(data="coco128-seg.yaml", weights="", cfg="yolov5s-seg.yaml", batch_size=
                                           mkdir=True))
         else:
             save_dir = "."
-    data = check_dataset(find_cfg(data, "data"))
+    data = check_dataset(find_cfg(data, "data"), autodownload=not no_download)
     imgsz = check_img_size(imgsz, 32)
     nc = 1 if single_cls else int(data["nc"])
     model, variables = load_model_and_weights(weights, cfg, nc, imgsz)
@@ -143,6 +144,8 @@ def parse_opt(argv=None):
     p.add_argument("--device", default="", help="parity flag (JAX selects devices)")
     p.add_argument("--workers", type=int, default=0, help="parity flag")
     p.add_argument("--half", action="store_true", help="parity flag (bf16 policy instead)")
+    p.add_argument("--no-download", action="store_true",
+                   help="refuse to execute the data yaml's download: hook")
     return p.parse_args(argv)
 
 

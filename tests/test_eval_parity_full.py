@@ -58,14 +58,15 @@ def _torchvision_nms(boxes, scores, iou_threshold):
     return torch.stack(keep)
 
 
-def _build_models():
+def _build_models(cfg=None, nc=NC, imgsz=IMGSZ):
     DetectionModel, SegmentationModel = _reference_models()
     sys.modules["torchvision"].ops.nms = _torchvision_nms
     torch.manual_seed(0)
-    cfg = tiny_cfg(True)
-    cfg["nc"] = NC
-    ref = SegmentationModel(_torch_cfg(cfg), ch=3, nc=NC).float().eval()
-    ref.names = {i: str(i) for i in range(NC)}
+    if cfg is None:
+        cfg = tiny_cfg(True)
+        cfg["nc"] = nc
+    ref = SegmentationModel(_torch_cfg(cfg), ch=3, nc=nc).float().eval()
+    ref.names = {i: str(i) for i in range(nc)}
     # Prime the head biases so the random model behaves weakly-trained:
     # positive obj -> confident detections; positive mask-coef bias -> protos
     # (post-SiLU, mostly >0) give FILLED masks inside the crop. Without this
@@ -77,19 +78,19 @@ def _build_models():
         for mi in det.m:
             b = mi.bias.view(det.na, -1)
             b[:, 4] += 3.0
-            b[:, 5:5 + NC] += 1.0
-            b[:, 5 + NC:] += 2.0
+            b[:, 5:5 + nc] += 1.0
+            b[:, 5 + nc:] += 2.0
             mi.bias.copy_(b.view(-1))
     sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
     from yolo_dual_tpu.io import import_torch_state_dict
     from yolo_dual_tpu.models.model import SegmentationModel as Ours
-    ours = Ours(cfg, nc=NC)
-    variables = ours.init(imgsz=IMGSZ, bias_prior=False)
+    ours = Ours(cfg, nc=nc)
+    variables = ours.init(imgsz=imgsz, bias_prior=False)
     variables = import_torch_state_dict(variables, sd, spec=ours.spec, strict=True)
     return ref, ours, variables
 
 
-def _make_dataset(root: Path, ours, variables, n_imgs: int = 6):
+def _make_dataset(root: Path, ours, variables, n_imgs: int = 6, imgsz: int = IMGSZ):
     """Synthetic square images; gt = our model's top decoded boxes with
     polygons traced from the model's own PREDICTED instance masks. Predicted
     masks as gt matters: the reference evaluator skips ALL metrics (box
@@ -105,7 +106,7 @@ def _make_dataset(root: Path, ours, variables, n_imgs: int = 6):
     rng = np.random.default_rng(7)
     nm = ours.spec.layers[-1].kw()["nm"]
     for i in range(n_imgs):
-        im = rng.integers(0, 255, (IMGSZ, IMGSZ, 3), dtype=np.uint8)
+        im = rng.integers(0, 255, (imgsz, imgsz, 3), dtype=np.uint8)
         cv2.rectangle(im, (20 + 6 * i, 30), (90 + 4 * i, 100), (250, 30, 30), -1)
         cv2.circle(im, (90, 40 + 5 * i), 22, (30, 250, 30), -1)
         cv2.imwrite(str(img_dir / f"{i:04d}.jpg"), im[..., ::-1])
@@ -116,11 +117,11 @@ def _make_dataset(root: Path, ours, variables, n_imgs: int = 6):
                               max_det=16, nm=nm)
         dets = np.asarray(out)[0, : int(np.asarray(nv)[0])]
         pmasks = np.asarray(process_mask(protos[0], jnp.asarray(dets[:, 6:6 + nm]),
-                                         jnp.asarray(dets[:, :4]), (IMGSZ, IMGSZ),
+                                         jnp.asarray(dets[:, :4]), (imgsz, imgsz),
                                          upsample=True, binarize=True))
         lines = []
         for d, pm in zip(dets[:8], pmasks[:8]):
-            x1, y1, x2, y2 = np.clip(d[:4], 2, IMGSZ - 2)
+            x1, y1, x2, y2 = np.clip(d[:4], 2, imgsz - 2)
             if x2 - x1 < 8 or y2 - y1 < 8:
                 continue
             cls = int(d[5])
@@ -130,11 +131,11 @@ def _make_dataset(root: Path, ours, variables, n_imgs: int = 6):
                                        cv2.CHAIN_APPROX_SIMPLE)
             cnt = max(cnts, key=cv2.contourArea) if cnts else None
             if cnt is not None and cv2.contourArea(cnt) >= 16 and len(cnt) >= 3:
-                poly = (cnt.reshape(-1, 2).astype(np.float64) / IMGSZ).clip(0, 1)
+                poly = (cnt.reshape(-1, 2).astype(np.float64) / imgsz).clip(0, 1)
             else:
                 # box-rectangle fallback keeps box gt meaningful even when this
                 # det's mask is too speckly to trace
-                poly = np.array([[x1, y1], [x2, y1], [x2, y2], [x1, y2]]) / IMGSZ
+                poly = np.array([[x1, y1], [x2, y1], [x2, y2], [x1, y2]]) / imgsz
             lines.append(f"{cls} " + " ".join(f"{v:.6f}" for v in poly.ravel()))
             if len(lines) >= 5:
                 break
@@ -143,23 +144,20 @@ def _make_dataset(root: Path, ours, variables, n_imgs: int = 6):
     return img_dir
 
 
-def test_full_eval_parity(tmp_path):
-    ref, ours, variables = _build_models()
-    img_dir = _make_dataset(tmp_path / "ds", ours, variables)
-
-    # --- reference evaluator, in-process, training-mode ---------------------
+def _run_ref_eval(ref, img_dir, out_dir, nc, imgsz, bs, overlap):
+    """Run the LIVE reference evaluator in-process (training mode)."""
     import importlib.util
     if str(REFERENCE) not in sys.path:
         sys.path.insert(0, str(REFERENCE))
     from utils.segment.dataloaders import create_dataloader as ref_create_dataloader
-    ref_loader = ref_create_dataloader(str(img_dir), IMGSZ, 4, 32, pad=0.0, rect=False,
-                                       workers=0, overlap_mask=True,
+    ref_loader = ref_create_dataloader(str(img_dir), imgsz, bs, 32, pad=0.0, rect=False,
+                                       workers=0, overlap_mask=overlap,
                                        mask_downsample_ratio=4)[0]
     spec = importlib.util.spec_from_file_location("ref_seg_val",
                                                   REFERENCE / "segment" / "val.py")
     ref_val = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(ref_val)
-    data = {"val": str(img_dir), "nc": NC, "names": {i: str(i) for i in range(NC)}}
+    data = {"val": str(img_dir), "nc": nc, "names": {i: str(i) for i in range(nc)}}
 
     # Freeze the clock the reference NMS reads: its wall-clock guard
     # (`time_limit = 0.5 + 0.05*bs`, utils/general.py:997-999) silently DROPS
@@ -177,24 +175,32 @@ def test_full_eval_parity(tmp_path):
     try:
         with torch.no_grad():
             (ref_results, _maps, _t) = ref_val.run(
-                data, model=ref, dataloader=ref_loader, batch_size=4, imgsz=IMGSZ,
+                data, model=ref, dataloader=ref_loader, batch_size=bs, imgsz=imgsz,
                 conf_thres=0.001, iou_thres=0.6, max_det=300, half=False, plots=False,
-                overlap=True, mask_downsample_ratio=4, save_dir=tmp_path / "ref_out",
+                overlap=overlap, mask_downsample_ratio=4, save_dir=out_dir,
                 verbose=False)
     finally:
         ref_general.time = _orig_time
-    ref_mean = np.array(ref_results[:8], np.float64)
+    return np.array(ref_results[:8], np.float64)
 
-    # --- our evaluator ------------------------------------------------------
+
+def _run_our_eval(ours, variables, img_dir, nc, imgsz, bs, overlap):
     from yolo_dual_tpu.data import create_dataloader
     from yolo_dual_tpu.engine import evaluate_segment
-    loader, _ = create_dataloader(str(img_dir), IMGSZ, 4, augment=False,
-                                  mask_downsample_ratio=4, overlap_mask=True,
+    loader, _ = create_dataloader(str(img_dir), imgsz, bs, augment=False,
+                                  mask_downsample_ratio=4, overlap_mask=overlap,
                                   task="segment")
     nm = ours.spec.layers[-1].kw()["nm"]
-    mean, maps, t = evaluate_segment(ours, variables, loader, NC, conf_thres=0.001,
+    mean, maps, t = evaluate_segment(ours, variables, loader, nc, conf_thres=0.001,
                                      iou_thres=0.6, max_det=300, nm=nm, mask_ratio=4)
-    our_mean = np.array(mean[:8], np.float64)
+    return np.array(mean[:8], np.float64)
+
+
+def test_full_eval_parity(tmp_path):
+    ref, ours, variables = _build_models()
+    img_dir = _make_dataset(tmp_path / "ds", ours, variables)
+    ref_mean = _run_ref_eval(ref, img_dir, tmp_path / "ref_out", NC, IMGSZ, 4, True)
+    our_mean = _run_our_eval(ours, variables, img_dir, NC, IMGSZ, 4, True)
 
     # The parity claim: our full pipeline reproduces the live reference
     # evaluator on identical weights+data. Recall compares EXACTLY (it counts
@@ -213,3 +219,36 @@ def test_full_eval_parity(tmp_path):
     assert ref_mean[1] > 0.9, f"ref box recall degenerate: {ref_mean}"
     assert ref_mean[5] > 0.3, f"ref mask recall degenerate: {ref_mean}"
     assert our_mean[2] > 0.2, f"box mAP50 too low to be meaningful: {our_mean}"
+
+
+@pytest.mark.slow
+def test_full_eval_parity_fullsize(tmp_path):
+    """The flagship config at production settings (VERDICT r2 next-#1a): the
+    REAL yolov5s-seg graph (reference models/segment/yolov5s-seg.yaml) at
+    640px, nc=80, multi-label NMS (both evaluators pass multi_label=True),
+    BOTH mask-overlap modes, 2 batches — so level-dependent decode bugs that
+    only appear at 640px strides (80/40/20 grids) or multi-label ties at
+    nc=80 are caught, not just the tiny 128px/nc4 regime above."""
+    import yaml
+    cfg = yaml.safe_load(
+        (Path(__file__).parents[1] / "yolo_dual_tpu" / "configs" / "segment"
+         / "yolov5s-seg.yaml").read_text())
+    imgsz, nc = 640, 80
+    ref, ours, variables = _build_models(cfg=cfg, nc=nc, imgsz=imgsz)
+    img_dir = _make_dataset(tmp_path / "ds", ours, variables, n_imgs=4, imgsz=imgsz)
+
+    for overlap in (True, False):
+        ref_mean = _run_ref_eval(ref, img_dir, tmp_path / f"ref_{overlap}",
+                                 nc, imgsz, 2, overlap)
+        our_mean = _run_our_eval(ours, variables, img_dir, nc, imgsz, 2, overlap)
+        # Same contract as the tiny test: recall exact (TP counting across
+        # dataloader/letterbox/forward/NMS/mask-decode/matching must agree);
+        # precision/AP to 0.05 (FP ordering wiggles under f32 conv noise).
+        np.testing.assert_allclose(
+            our_mean[[1, 5]], ref_mean[[1, 5]], atol=1e-6,
+            err_msg=f"recall parity overlap={overlap}: ours={our_mean} ref={ref_mean}")
+        np.testing.assert_allclose(our_mean, ref_mean, atol=0.05,
+                                   err_msg=f"overlap={overlap}: ours={our_mean} ref={ref_mean}")
+        assert ref_mean[1] > 0.9, f"ref box recall degenerate: {ref_mean}"
+        assert ref_mean[5] > 0.3, f"ref mask recall degenerate: {ref_mean}"
+        assert our_mean[2] > 0.2, f"box mAP50 too low to be meaningful: {our_mean}"

@@ -228,3 +228,36 @@ def test_mixconv_sum_yaml_build():
     raw = jax.eval_shape(lambda vv, xx: model.apply(vv, xx, train=False, decode=False), v, x)
     assert raw[0].shape == (1, 3, 16, 16, 7)  # na=3, 16x16 grid, no=nc+5
     assert v["params"]["model_3"]["w"].shape == (1,)  # Sum gate param exists
+
+
+def test_check_dataset_val_list(tmp_path):
+    """val may be a LIST of paths in reference data YAMLs (resolved at
+    reference utils/general.py:527-535, existence-checked with all())."""
+    import yaml
+    from yolo_dual_tpu.utils.general import check_dataset
+    for sub in ("images/a", "images/b"):
+        (tmp_path / sub).mkdir(parents=True)
+    dy = tmp_path / "d.yaml"
+    dy.write_text(yaml.safe_dump(dict(path=str(tmp_path), train="images/a",
+                                      val=["images/a", "images/b"], names=["x"])))
+    data = check_dataset(dy)
+    assert data["val"] == [str(tmp_path / "images/a"), str(tmp_path / "images/b")]
+
+    # one missing entry of the list -> clear error, no TypeError
+    dy.write_text(yaml.safe_dump(dict(path=str(tmp_path), train="images/a",
+                                      val=["images/a", "images/missing"], names=["x"])))
+    with pytest.raises(FileNotFoundError, match="missing"):
+        check_dataset(dy)
+
+
+def test_mixconv_channel_sum_exact():
+    """equal_ch=False rounding residual must land on a branch so the concat
+    emits exactly c2 channels (advisor r2: independent np.round drifts, e.g.
+    k=(1,3), c2=25 rounds to 22+2=24)."""
+    import jax, jax.numpy as jnp
+    from yolo_dual_tpu.nn.common import MixConv2d
+    for k, c2 in [((1, 3), 25), ((1, 3, 5), 12), ((3, 5, 7), 10)]:
+        m = MixConv2d(c2, k=k, s=1, equal_ch=False)
+        v = m.init(jax.random.PRNGKey(0), jnp.ones((1, 8, 8, 16)))
+        y = m.apply(v, jnp.ones((1, 8, 8, 16)))
+        assert y.shape[-1] == c2, (k, c2, y.shape)

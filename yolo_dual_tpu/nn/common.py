@@ -579,8 +579,9 @@ class MixConv2d(nn.Module):
     models/experimental.py:35-57): output channels split across parallel
     grouped convs of different kernel sizes, concatenated, then BN+SiLU.
 
-    Channel split: `equal_ch=True` gives each branch an equal share (earlier
-    branches take the remainder, matching the reference's linspace-floor);
+    Channel split: `equal_ch=True` gives each branch an equal share (the
+    remainder lands on the last branches, matching the reference's
+    linspace-floor);
     otherwise shares are proportional to 1/k² so every branch holds roughly
     the same number of weights — same intent as the reference's
     least-squares formulation, stated directly.
@@ -608,7 +609,11 @@ class MixConv2d(nn.Module):
             # closed form of the reference's least-squares system (which can
             # round a branch to zero channels; we then skip that conv)
             inv = 1.0 / np.asarray(self.k, np.float64) ** 2
-            splits = np.round(self.c2 * inv / inv.sum()).astype(int).tolist()
+            splits = np.round(self.c2 * inv / inv.sum()).astype(int)
+            # independent rounding can drift from c2; put the residual on the
+            # largest split so the concat always emits exactly c2 channels
+            splits[int(np.argmax(splits))] += self.c2 - int(splits.sum())
+            splits = splits.tolist()
         outs = []
         for i, (kk, cc) in enumerate(zip(self.k, splits)):
             if cc == 0:

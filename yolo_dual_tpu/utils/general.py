@@ -153,19 +153,27 @@ def check_dataset(data, autodownload: bool = True, require_splits: bool = True) 
         data = yaml_load(data)
     for k in ("train", "val", "test"):
         if k in data and data[k]:
-            p = Path(data.get("path", "")) / data[k] if data.get("path") else Path(data[k])
-            data[k] = str(p)
+            # val may be a list of paths (reference utils/general.py:527-535)
+            vals = data[k] if isinstance(data[k], list) else [data[k]]
+            resolved = [str(Path(data["path"]) / v) if data.get("path") else str(v) for v in vals]
+            data[k] = resolved if isinstance(data[k], list) else resolved[0]
     if "names" in data and isinstance(data["names"], list):
         data["names"] = dict(enumerate(data["names"]))
     data.setdefault("nc", len(data.get("names", {})))
 
     val, hook = data.get("val"), data.get("download")
-    if require_splits and val and not Path(val).exists():
+    val_paths = [Path(v) for v in (val if isinstance(val, list) else [val])] if val else []
+    if require_splits and val_paths and not all(v.exists() for v in val_paths):
+        missing = [str(v) for v in val_paths if not v.exists()]
         if not (hook and autodownload):
             raise FileNotFoundError(
-                f"Dataset val path not found: {val}"
-                + ("" if hook else " (no download: hook in the data yaml)"))
-        LOGGER.info(f"Dataset val path missing ({val}); running download hook...")
+                f"Dataset val path not found: {missing}"
+                + ("" if hook else " (no download: hook in the data yaml)")
+                + ("" if autodownload else " (autodownload disabled)"))
+        # Trust boundary: the hook is arbitrary code from the data YAML — show it before running.
+        LOGGER.warning(
+            f"Dataset val path missing ({missing}); executing the data yaml's download hook "
+            f"(pass autodownload=False / --no-download to refuse):\n{str(hook)[:500]}")
         t0 = time.time()
         if isinstance(hook, str) and hook.startswith("http"):
             from yolo_dual_tpu.utils.downloads import safe_download
@@ -180,7 +188,7 @@ def check_dataset(data, autodownload: bool = True, require_splits: bool = True) 
             subprocess.run(hook, shell=True, check=True)
         else:  # inline python, with the resolved dict in scope like the reference
             exec(hook, {"yaml": data, "Path": Path})
-        ok = Path(data["val"]).exists()
+        ok = all(v.exists() for v in val_paths)
         LOGGER.info(f"Dataset download hook {'succeeded' if ok else 'FAILED'} "
                     f"({time.time() - t0:.1f}s)")
         if not ok:
