@@ -128,7 +128,8 @@ def train(opt):
         data["train"], imgsz, opt.batch_size, hyp=hyp, augment=True, shuffle=True,
         mask_downsample_ratio=opt.mask_ratio, overlap_mask=not opt.no_overlap,
         task="segment", seed=opt.seed, prefix=colorstr("train: "), single_cls=opt.single_cls,
-        rect=opt.rect, cache_images=opt.cache)
+        rect=opt.rect, cache_images=opt.cache,
+        device_aug=getattr(opt, "device_aug", False))
     if not opt.noplots:
         try:  # label-distribution panels (reference on_pretrain_routine_end)
             from yolo_dual_tpu.utils.plots import plot_labels
@@ -232,7 +233,20 @@ def train(opt):
         train_loader.set_epoch(epoch)
         mloss = np.zeros(4)
         for i, batch in enumerate(train_loader):
-            b = {k: jnp.asarray(batch[k]) for k in ("image", "targets", "tmask", "masks")}
+            if "aug_tiles" in batch:
+                # device-side augmentation: host shipped raw tiles + geometry;
+                # composite/warp/HSV/flips/normalize run on the TPU
+                # (kernels/augment.py; north-star device-side preprocessing)
+                from yolo_dual_tpu.kernels.augment import mosaic_warp_hsv
+                image = mosaic_warp_hsv(
+                    jnp.asarray(batch["aug_tiles"]), jnp.asarray(batch["aug_dst"]),
+                    jnp.asarray(batch["aug_off"]), jnp.asarray(batch["aug_invm"]),
+                    jnp.asarray(batch["aug_hsv"]), jnp.asarray(batch["aug_flips"]),
+                    out_size=imgsz)
+                b = {"image": image, **{k: jnp.asarray(batch[k])
+                                        for k in ("targets", "tmask", "masks")}}
+            else:
+                b = {k: jnp.asarray(batch[k]) for k in ("image", "targets", "tmask", "masks")}
             if mesh is not None:
                 from yolo_dual_tpu.parallel import shard_batch
                 b = shard_batch(b, mesh)
@@ -331,6 +345,10 @@ def parse_opt(argv=None):
     p.add_argument("--workers", type=int, default=0, help="accepted for parity (thread prefetch is used)")
     p.add_argument("--no-download", action="store_true",
                    help="refuse to execute the data yaml's download: hook")
+    p.add_argument("--device-aug", action="store_true",
+                   help="run mosaic composite + warp + HSV + flips on the TPU "
+                        "(host does decode + label geometry only); needs "
+                        "mosaic=1.0 and no mixup/copy_paste in the hyp")
     args = p.parse_args(argv)
     # record which flags the user actually typed: on --resume, flags NOT
     # explicitly passed are restored from the run's opt.yaml (see train())

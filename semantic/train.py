@@ -48,6 +48,31 @@ def find_cfg(name, d="semantic"):
     return p if p.exists() else CONFIGS / d / name
 
 
+def _log_train_panels(loggers, model, state, batch, step):
+    """Per-100-step input/GT/pred/diff panel row (reference
+    unet-lite/Resnet50/seg_diceloss_Resnet50.py:1114-1138: 4-panel grids of
+    the live model's prediction every 100 steps)."""
+    try:
+        from yolo_dual_tpu.utils.plots import colorize_semantic
+        img = np.asarray(batch["image"][0])
+        gt = np.asarray(batch["mask"][0]).astype(np.int64)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        out = model.apply(variables, jnp.asarray(img[None], jnp.float32) / 255.0,
+                          train=False)
+        pred = np.asarray(jnp.argmax(out[0], axis=-1)).astype(np.int64)
+        if pred.shape != gt.shape:
+            import cv2
+            pred = cv2.resize(pred.astype(np.uint8), gt.shape[::-1],
+                              interpolation=cv2.INTER_NEAREST).astype(np.int64)
+        diff = np.where(pred != gt, 255, 0).astype(np.uint8)
+        panels = np.concatenate([
+            img.astype(np.uint8), colorize_semantic(gt), colorize_semantic(pred),
+            np.stack([diff] * 3, -1)], axis=1)
+        loggers.log_images("Train/input_gt_pred_diff", panels, step)
+    except Exception as e:  # panels must never kill a training run
+        LOGGER.info(f"train panel logging skipped: {e}")
+
+
 def train(opt):
     from yolo_dual_tpu.utils.general import select_device
     select_device(opt.device)
@@ -168,6 +193,15 @@ def train(opt):
             csv.writer(f).writerow(["epoch", "total_loss", "ce_loss", f"{opt.loss}_loss",
                                     "mIoU", "val_loss", "fitness"])
 
+    # TB sinks: per-10-step scalars + per-100-step input/GT/pred/diff panels,
+    # the standalone reference trainers' cadence
+    # (reference unet-lite/Resnet50/seg_diceloss_Resnet50.py:1114-1138);
+    # CSV history is written by this loop itself, so only 'tb' is included.
+    from yolo_dual_tpu.train.optim import build_lr_schedule
+    from yolo_dual_tpu.utils.loggers import Loggers
+    loggers = Loggers(save_dir, opt=vars(opt), hyp=hyp, include=("tb",))
+    lr_fn = build_lr_schedule(hyp, opt.epochs, nb, opt.cos_lr, "g0", accumulate)
+
     t0 = time.time()
     for epoch in range(start_epoch, opt.epochs):
         train_loader.set_epoch(epoch)
@@ -179,6 +213,16 @@ def train(opt):
                 b = shard_batch(b, mesh)
             state, metrics = step_fn(state, b)
             mloss = (mloss * i + np.asarray(metrics["items"])) / (i + 1)
+            gstep = epoch * nb + i
+            if gstep % 10 == 0:
+                items = np.asarray(metrics["items"])
+                loggers.log_metrics({
+                    "Train/Total_Loss": float(items[0]),
+                    "Train/CE_Loss": float(items[1]),
+                    f"Train/{opt.loss.capitalize()}_Loss": float(items[2]),
+                    "Train/Learning_Rate": float(lr_fn(gstep))}, gstep)
+            if gstep % 100 == 0:
+                _log_train_panels(loggers, model, state, batch, gstep)
         variables_eval = state.ema["ema"] if state.ema is not None else \
             {"params": state.params, "batch_stats": state.batch_stats}
         (miou, vloss, _, _), per_cls_iou, _ = evaluate_semantic(

@@ -225,3 +225,68 @@ def test_albumentations_adapter_noop_without_package():
     out, l = t(img, labels, p=1.0, rng=_random.Random(0))
     assert out.shape == img.shape
     assert l.shape[1] == 5
+
+
+def test_device_aug_equivalence(yolo_ds_dir):
+    """device_aug=True (host decode + geometry; TPU composite/warp/HSV/flip,
+    kernels/augment.py) must reproduce the host pipeline given the same seed:
+    identical rng stream -> identical labels and masks EXACTLY, and pixels
+    equal up to mosaic-seam bilinear semantics + HSV rounding (99th pct)."""
+    import jax.numpy as jnp
+    from yolo_dual_tpu.data import YoloDataset
+    from yolo_dual_tpu.kernels.augment import mosaic_warp_hsv
+
+    hyp = dict(mosaic=1.0, mixup=0.0, copy_paste=0.0, degrees=5.0, translate=0.1,
+               scale=0.4, shear=2.0, perspective=0.0, hsv_h=0.015, hsv_s=0.7,
+               hsv_v=0.4, flipud=0.3, fliplr=0.5)
+    imgsz = 96
+    kw = dict(imgsz=imgsz, augment=True, hyp=hyp, task="segment", mask_ratio=4,
+              overlap=True)
+    ds_host = YoloDataset(str(yolo_ds_dir / "images" / "train"), **kw)
+    ds_dev = YoloDataset(str(yolo_ds_dir / "images" / "train"), device_aug=True, **kw)
+    assert ds_dev.device_aug, "device_aug should be active for this hyp"
+
+    for idx in range(3):
+        ds_host.rng.seed(100 + idx)
+        ds_dev.rng.seed(100 + idx)
+        sh = ds_host[idx]
+        sd = ds_dev[idx]
+        assert "aug_tiles" in sd and "image" not in sd
+        np.testing.assert_array_equal(sd["tmask"], sh["tmask"])
+        np.testing.assert_allclose(sd["targets"], sh["targets"], atol=1e-6)
+        np.testing.assert_array_equal(sd["masks"], sh["masks"])
+
+        img_dev = np.asarray(mosaic_warp_hsv(
+            jnp.asarray(sd["aug_tiles"][None]), jnp.asarray(sd["aug_dst"][None]),
+            jnp.asarray(sd["aug_off"][None]), jnp.asarray(sd["aug_invm"][None]),
+            jnp.asarray(sd["aug_hsv"][None]), jnp.asarray(sd["aug_flips"][None]),
+            out_size=imgsz))[0]
+        img_host = sh["image"].astype(np.float32) / 255.0
+        diff = np.abs(img_dev - img_host)
+        # exclude a 2px band around mosaic tile seams (in warped canvas
+        # coords): the host's bilinear straddles tiles there, we edge-clamp.
+        # Pure-noise test images maximize that sub-pixel effect.
+        yy, xx = np.mgrid[0:imgsz, 0:imgsz].astype(np.float64)
+        if sd["aug_flips"][0]:
+            yy = (imgsz - 1) - yy
+        if sd["aug_flips"][1]:
+            xx = (imgsz - 1) - xx
+        m = sd["aug_invm"]
+        u = m[0, 0] * xx + m[0, 1] * yy + m[0, 2]
+        v = m[1, 0] * xx + m[1, 1] * yy + m[1, 2]
+        near_seam = np.zeros((imgsz, imgsz), bool)
+        for k in range(4):
+            for e, c in zip(sd["aug_dst"][k], (u, v, u, v)):
+                near_seam |= np.abs(c - e) < 2.0
+        ok = ~near_seam
+        assert ok.mean() > 0.5  # the comparison must not be vacuous
+        assert np.percentile(diff[ok], 99) < 0.06, np.percentile(diff[ok], 99)
+        assert np.mean(diff) < 0.015, np.mean(diff)
+
+
+def test_device_aug_fallback_on_unsupported_hyp(yolo_ds_dir):
+    from yolo_dual_tpu.data import YoloDataset
+    ds = YoloDataset(str(yolo_ds_dir / "images" / "train"), imgsz=96, augment=True,
+                     hyp=dict(mosaic=0.5), task="segment", device_aug=True)
+    assert not ds.device_aug
+    assert "image" in ds[0]

@@ -151,3 +151,124 @@ def test_letterbox_normalize_matches_cv2_semantics(rng):
                                          interpret=True))[0]
     diff = np.abs(cpu.astype(np.float32) / 255.0 - dev)
     assert np.percentile(diff, 99) < 0.02, np.percentile(diff, 99)
+
+
+# ---------------------------------------------------------------------------
+# Device-side mosaic + warp + HSV (kernels/augment.py)
+# ---------------------------------------------------------------------------
+
+def _mosaic_fixture(rng, s=64):
+    """4 tiles + disjoint quadrant placement around (xc, yc) on a 2s canvas,
+    exactly the reference load_mosaic geometry (utils/dataloaders.py:653-676)."""
+    xc, yc = 70, 58
+    tiles = np.zeros((1, 4, s, s, 3), np.uint8)
+    sizes = [(s, s), (48, 64), (64, 40), (56, 56)]
+    dst = np.zeros((1, 4, 4), np.float32)
+    off = np.zeros((1, 4, 2), np.float32)
+    for k, (h, w) in enumerate(sizes):
+        tiles[0, k, :h, :w] = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        if k == 0:
+            x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
+            x1b, y1b = w - (x2a - x1a), h - (y2a - y1a)
+        elif k == 1:
+            x1a, y1a, x2a, y2a = xc, max(yc - h, 0), min(xc + w, s * 2), yc
+            x1b, y1b = 0, h - (y2a - y1a)
+        elif k == 2:
+            x1a, y1a, x2a, y2a = max(xc - w, 0), yc, xc, min(s * 2, yc + h)
+            x1b, y1b = w - (x2a - x1a), 0
+        else:
+            x1a, y1a, x2a, y2a = xc, yc, min(xc + w, s * 2), min(s * 2, yc + h)
+            x1b, y1b = 0, 0
+        dst[0, k] = [x1a, y1a, x2a, y2a]
+        off[0, k] = [x1b - x1a, y1b - y1a]
+    # the composited canvas the reference would build
+    canvas = np.full((2 * s, 2 * s, 3), 114, np.uint8)
+    for k in range(4):
+        x1, y1, x2, y2 = dst[0, k].astype(int)
+        sx, sy = int(off[0, k, 0] + x1), int(off[0, k, 1] + y1)
+        canvas[y1:y2, x1:x2] = tiles[0, k, sy:sy + (y2 - y1), sx:sx + (x2 - x1)]
+    return tiles, dst, off, canvas
+
+
+def test_mosaic_warp_identity_exact(rng):
+    """Identity warp, unit HSV gains, no flips: the fused kernel must equal
+    the composited canvas EXACTLY (bilinear at integer coords degenerates)."""
+    from yolo_dual_tpu.kernels.augment import mosaic_warp_hsv
+    s = 64
+    tiles, dst, off, canvas = _mosaic_fixture(rng, s)
+    inv_m = np.eye(3, dtype=np.float32)[None]
+    out = np.asarray(mosaic_warp_hsv(
+        jnp.asarray(tiles), jnp.asarray(dst), jnp.asarray(off),
+        jnp.asarray(inv_m), jnp.ones((1, 3), np.float32),
+        np.zeros((1, 2), bool), out_size=2 * s))
+    np.testing.assert_allclose(out[0], canvas.astype(np.float32) / 255.0, atol=1e-6)
+
+
+def test_mosaic_warp_matches_numpy_mirror(rng):
+    """Random affine + flips vs the numpy reference mirror (same seam
+    semantics -> tight tolerance); HSV path separately below."""
+    from yolo_dual_tpu.kernels.augment import mosaic_warp_hsv, mosaic_warp_hsv_reference
+    s = 64
+    tiles, dst, off, _ = _mosaic_fixture(rng, s)
+    ang = 0.15
+    M = np.array([[np.cos(ang) * 1.1, -np.sin(ang), -20.0],
+                  [np.sin(ang), np.cos(ang) * 1.1, -14.0],
+                  [0, 0, 1]], np.float64)
+    inv_m = np.linalg.inv(M).astype(np.float32)[None]
+    gains = np.ones((1, 3), np.float32)
+    flips = np.array([[False, True]])
+    out = np.asarray(mosaic_warp_hsv(
+        jnp.asarray(tiles), jnp.asarray(dst), jnp.asarray(off),
+        jnp.asarray(inv_m), jnp.asarray(gains), jnp.asarray(flips), out_size=s))
+    ref = mosaic_warp_hsv_reference(tiles, dst, off, inv_m, gains, flips, out_size=s)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_mosaic_warp_matches_cv2_host_path(rng):
+    """End-to-end vs the HOST path (composite canvas -> cv2.warpAffine):
+    agreement everywhere except a 2px band around tile seams (where the
+    reference's bilinear straddles tiles and we edge-clamp) and cv2's 1/32
+    fixed-point quantization."""
+    import cv2
+    from yolo_dual_tpu.kernels.augment import mosaic_warp_hsv
+    s = 64
+    tiles, dst, off, canvas = _mosaic_fixture(rng, s)
+    ang = -0.1
+    M = np.array([[np.cos(ang) * 0.9, -np.sin(ang) * 0.9, 10.0],
+                  [np.sin(ang) * 0.9, np.cos(ang) * 0.9, -6.0],
+                  [0, 0, 1]], np.float64)
+    host = cv2.warpAffine(canvas, M[:2], dsize=(s, s), borderValue=(114, 114, 114))
+    inv_m = np.linalg.inv(M).astype(np.float32)[None]
+    out = np.asarray(mosaic_warp_hsv(
+        jnp.asarray(tiles), jnp.asarray(dst), jnp.asarray(off),
+        jnp.asarray(inv_m), jnp.ones((1, 3), np.float32),
+        np.zeros((1, 2), bool), out_size=s))[0]
+    # seam mask: canvas-space distance to any tile rect edge < 2px
+    yy, xx = np.mgrid[0:s, 0:s].astype(np.float64)
+    u = inv_m[0, 0, 0] * xx + inv_m[0, 0, 1] * yy + inv_m[0, 0, 2]
+    v = inv_m[0, 1, 0] * xx + inv_m[0, 1, 1] * yy + inv_m[0, 1, 2]
+    near_seam = np.zeros((s, s), bool)
+    for k in range(4):
+        for e, c in zip(dst[0, k], (u, v, u, v)):
+            near_seam |= np.abs(c - e) < 2.0
+    ok = ~near_seam
+    diff = np.abs(host.astype(np.float32) / 255.0 - out)[ok]
+    assert np.percentile(diff, 99) < 0.03, np.percentile(diff, 99)
+
+
+def test_hsv_jitter_matches_cv2(rng):
+    """HSV gains vs the reference's cv2 LUT math (utils/augmentations.py:
+    67-80) — within a couple of uint8 quantization steps."""
+    import cv2
+    from yolo_dual_tpu.kernels.augment import _hsv_jitter
+    img = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    gains = np.array([1.009, 1.4, 0.7], np.float32)
+    hsvim = cv2.cvtColor(img, cv2.COLOR_RGB2HSV)
+    h, sv, vv = cv2.split(hsvim)
+    h2 = ((h.astype(np.float64) * gains[0]) % 180).astype(np.uint8)
+    s2 = np.clip(sv.astype(np.float64) * gains[1], 0, 255).astype(np.uint8)
+    v2 = np.clip(vv.astype(np.float64) * gains[2], 0, 255).astype(np.uint8)
+    host = cv2.cvtColor(cv2.merge([h2, s2, v2]), cv2.COLOR_HSV2RGB)
+    dev = np.asarray(_hsv_jitter(jnp.asarray(img, jnp.float32), jnp.asarray(gains)))
+    diff = np.abs(host.astype(np.float32) - dev)
+    assert np.percentile(diff, 95) < 6.0, np.percentile(diff, 95)

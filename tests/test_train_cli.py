@@ -102,3 +102,25 @@ def test_train_then_bare_resume(tmp_path):
     assert len(csv2) == 5  # header + 4 epochs total
     epochs = [int(float(r.split(",")[0])) for r in csv2[1:]]
     assert epochs == [0, 1, 2, 3]
+
+
+def test_train_device_aug_e2e(tmp_path):
+    """--device-aug trains end-to-end: host ships mosaic tiles + geometry,
+    the TPU kernel (kernels/augment.py) does composite/warp/HSV/flip, the
+    compiled train step consumes its output; losses stay finite and
+    checkpoints land."""
+    seg_train = _load_script(ROOT / "segment/train.py", "seg_train_devaug_mod")
+    cfg = _mini_cfg(tmp_path / "mini-seg.yaml")
+    data_yaml = _mini_dataset(tmp_path / "ds")
+    hyp = ROOT / "yolo_dual_tpu" / "configs" / "hyps" / "hyp.scratch-low.yaml"
+    opt = seg_train.parse_opt(
+        ["--cfg", str(cfg), "--data", str(data_yaml), "--hyp", str(hyp),
+         "--batch-size", "4", "--imgsz", "64", "--epochs", "1",
+         "--project", str(tmp_path / "runs"), "--name", "exp", "--seed", "1",
+         "--device-aug"])
+    seg_train.train(opt)
+    run_dir = tmp_path / "runs" / "exp"
+    assert (run_dir / "last").exists()
+    rows = (run_dir / "results.csv").read_text().strip().splitlines()
+    losses = [float(v) for v in rows[1].split(",")[1:5]]
+    assert all(np.isfinite(losses)), losses

@@ -1,0 +1,138 @@
+"""Input-pipeline throughput: can the HOST feed the DEVICE? (VERDICT r2 #3)
+
+Measures, on a synthetic-but-realistic dataset (640x480 jpegs, ~6 polygon
+instances each):
+
+  1. train loader img/s — mosaic + copy_paste + random_perspective + HSV +
+     flips + polygons->overlap masks at hyp.scratch-low settings, the
+     reference LoadImagesAndLabelsAndMasks hot path
+     (reference utils/segment/dataloaders.py:86-263)
+  2. train loader img/s with device_aug — host does decode+geometry only;
+     compositing/warp/HSV run on device (kernels/augment.py)
+  3. val loader img/s — host letterbox path (reference utils/dataloaders.py:
+     703 letterbox + val.py H2D)
+  4. single-image predict preprocess ms — the segment/predict.py letterbox
+
+and prints each against the measured device appetite (train ~544 img/s,
+inference ~2288 img/s on v5e, docs/ROADMAP.md) per HOST CORE — multiply by
+worker cores for a production host.
+
+Usage: python tools/bench_loader.py [--n 96] [--imgsz 640] [--bs 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+TRAIN_DEMAND = 544.0   # img/s, docs/ROADMAP.md bs16@640 train step
+INFER_DEMAND = 2288.0  # img/s, batched inference
+
+
+def make_dataset(root: Path, n: int, w: int = 640, h: int = 480):
+    import cv2
+    img_dir = root / "images" / "train"
+    lbl_dir = root / "labels" / "train"
+    img_dir.mkdir(parents=True)
+    lbl_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        im = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        lines = []
+        for _ in range(6):
+            cx, cy = rng.uniform(0.2, 0.8, 2)
+            r = rng.uniform(0.05, 0.15)
+            ang = np.linspace(0, 2 * np.pi, 8, endpoint=False)
+            poly = np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)], 1).clip(0.01, 0.99)
+            lines.append(f"{rng.integers(0, 80)} "
+                         + " ".join(f"{v:.4f}" for v in poly.ravel()))
+        cv2.imwrite(str(img_dir / f"{i:05d}.jpg"), im)
+        (lbl_dir / f"{i:05d}.txt").write_text("\n".join(lines) + "\n")
+    return img_dir
+
+
+HYP = dict(mosaic=1.0, mixup=0.0, copy_paste=0.0, degrees=0.0, translate=0.1,
+           scale=0.5, shear=0.0, perspective=0.0, hsv_h=0.015, hsv_s=0.7,
+           hsv_v=0.4, flipud=0.0, fliplr=0.5)
+
+
+def drain(loader, epochs: int = 1):
+    n = 0
+    t0 = time.perf_counter()
+    for _ in range(epochs):
+        for batch in loader:
+            n += batch["image"].shape[0]
+    return n / (time.perf_counter() - t0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=96)
+    ap.add_argument("--imgsz", type=int, default=640)
+    ap.add_argument("--bs", type=int, default=16)
+    ap.add_argument("--device-aug", action="store_true",
+                    help="also measure the device_aug split pipeline")
+    args = ap.parse_args()
+
+    from yolo_dual_tpu.data import create_dataloader
+    out = {}
+    with tempfile.TemporaryDirectory() as td:
+        img_dir = make_dataset(Path(td), args.n)
+
+        # 1. train pipeline (host-everything, reference-style)
+        loader, ds = create_dataloader(str(img_dir), args.imgsz, args.bs, hyp=HYP,
+                                       augment=True, mask_downsample_ratio=4,
+                                       overlap_mask=True, task="segment", shuffle=True)
+        next(iter(loader))  # warm the label cache
+        out["train_host_img_s"] = drain(loader)
+
+        # 2. train pipeline, device_aug split (host: decode+geometry;
+        #    device: composite+warp+HSV) — host side only here; the device
+        #    cost is measured in tools/bench_device_aug.py
+        if args.device_aug:
+            loader2, _ = create_dataloader(str(img_dir), args.imgsz, args.bs, hyp=HYP,
+                                           augment=True, mask_downsample_ratio=4,
+                                           overlap_mask=True, task="segment",
+                                           shuffle=True, device_aug=True)
+            next(iter(loader2))
+            out["train_host_img_s_device_aug"] = drain(loader2)
+
+        # 3. val pipeline (host letterbox, no augment)
+        vloader, _ = create_dataloader(str(img_dir), args.imgsz, args.bs,
+                                       augment=False, mask_downsample_ratio=4,
+                                       overlap_mask=True, task="segment")
+        next(iter(vloader))
+        out["val_host_img_s"] = drain(vloader)
+
+        # 4. predict single-image preprocess
+        import cv2
+        from yolo_dual_tpu.data.augment import letterbox
+        im = cv2.imread(str(next(img_dir.glob("*.jpg"))))
+        t0 = time.perf_counter()
+        reps = 50
+        for _ in range(reps):
+            x, _, _ = letterbox(im, args.imgsz, auto=False)
+            x = np.ascontiguousarray(x[..., ::-1], np.float32) / 255.0
+        out["predict_preprocess_ms"] = (time.perf_counter() - t0) / reps * 1e3
+
+    out["train_demand_img_s"] = TRAIN_DEMAND
+    out["infer_demand_img_s"] = INFER_DEMAND
+    out["train_feed_ratio_1core"] = round(out["train_host_img_s"] / TRAIN_DEMAND, 3)
+    out["val_feed_ratio_1core"] = round(out["val_host_img_s"] / INFER_DEMAND, 3)
+    out["cores_to_feed_train"] = int(np.ceil(TRAIN_DEMAND / out["train_host_img_s"]))
+    out["cores_to_feed_val"] = int(np.ceil(INFER_DEMAND / out["val_host_img_s"]))
+    print(json.dumps({k: (round(v, 2) if isinstance(v, float) else v)
+                      for k, v in out.items()}, indent=2))
+
+
+if __name__ == "__main__":
+    main()

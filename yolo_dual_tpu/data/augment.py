@@ -86,17 +86,19 @@ def resample_segments(segments: List[np.ndarray], n: int = 1000):
     return out
 
 
-def random_perspective(im, targets=(), segments=(), degrees=10, translate=0.1, scale=0.1,
-                       shear=10, perspective=0.0, border=(0, 0), rng=None):
-    """Random affine/perspective warp of image + labels + polygons
-    (reference utils/segment/augmentations.py:16-88)."""
+def sample_perspective_matrix(shape_hw, degrees=10, translate=0.1, scale=0.1,
+                              shear=10, perspective=0.0, border=(0, 0), rng=None):
+    """Sample the reference's C/P/R/S/T composite warp matrix without touching
+    pixels (reference utils/segment/augmentations.py:28-52). Returns
+    (M, s, (width, height)) — the device_aug pipeline applies M to pixels on
+    the TPU (kernels/augment.py) while the host applies it to labels."""
     rng = rng or random
-    height = im.shape[0] + border[0] * 2
-    width = im.shape[1] + border[1] * 2
+    height = shape_hw[0] + border[0] * 2
+    width = shape_hw[1] + border[1] * 2
 
     C = np.eye(3)
-    C[0, 2] = -im.shape[1] / 2
-    C[1, 2] = -im.shape[0] / 2
+    C[0, 2] = -shape_hw[1] / 2
+    C[1, 2] = -shape_hw[0] / 2
     P = np.eye(3)
     P[2, 0] = rng.uniform(-perspective, perspective)
     P[2, 1] = rng.uniform(-perspective, perspective)
@@ -111,13 +113,12 @@ def random_perspective(im, targets=(), segments=(), degrees=10, translate=0.1, s
     T[0, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * width
     T[1, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * height
 
-    M = T @ S @ R @ P @ C
-    if (border[0] != 0) or (border[1] != 0) or (M != np.eye(3)).any():
-        if perspective:
-            im = cv2.warpPerspective(im, M, dsize=(width, height), borderValue=(114, 114, 114))
-        else:
-            im = cv2.warpAffine(im, M[:2], dsize=(width, height), borderValue=(114, 114, 114))
+    return T @ S @ R @ P @ C, s, (width, height)
 
+
+def apply_perspective_to_labels(M, s, perspective, targets, segments, width, height):
+    """Transform labels+polygons by a sampled warp matrix and drop degenerate
+    candidates (reference utils/segment/augmentations.py:60-88)."""
     n = len(targets)
     new_segments = []
     if n:
@@ -134,6 +135,23 @@ def random_perspective(im, targets=(), segments=(), degrees=10, translate=0.1, s
         targets = targets[i]
         targets[:, 1:5] = new[i]
         new_segments = [new_segments[j] for j, keep in enumerate(i) if keep]
+    return targets, new_segments
+
+
+def random_perspective(im, targets=(), segments=(), degrees=10, translate=0.1, scale=0.1,
+                       shear=10, perspective=0.0, border=(0, 0), rng=None):
+    """Random affine/perspective warp of image + labels + polygons
+    (reference utils/segment/augmentations.py:16-88)."""
+    M, s, (width, height) = sample_perspective_matrix(
+        im.shape[:2], degrees, translate, scale, shear, perspective, border, rng)
+    if (border[0] != 0) or (border[1] != 0) or (M != np.eye(3)).any():
+        if perspective:
+            im = cv2.warpPerspective(im, M, dsize=(width, height), borderValue=(114, 114, 114))
+        else:
+            im = cv2.warpAffine(im, M[:2], dsize=(width, height), borderValue=(114, 114, 114))
+
+    targets, new_segments = apply_perspective_to_labels(
+        M, s, perspective, targets, segments, width, height)
     return im, targets, new_segments
 
 

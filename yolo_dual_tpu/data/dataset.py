@@ -121,7 +121,7 @@ class YoloDataset:
                  task: str = "detect", mask_ratio: int = 4, overlap: bool = True,
                  max_labels: int = 120, prefix: str = "", single_cls: bool = False,
                  pad_extra: float = 0.0, cache_images=False, rect: bool = False,
-                 stride: int = 32):
+                 stride: int = 32, device_aug: bool = False):
         self.imgsz = imgsz
         self.augment = augment
         self.hyp = dict(hyp or {})
@@ -132,6 +132,18 @@ class YoloDataset:
         self.single_cls = single_cls
         self.mosaic = self.augment and self.hyp.get("mosaic", 0) > 0
         self.mosaic_border = [-imgsz // 2, -imgsz // 2]
+        # device_aug: host does decode + label geometry only; compositing,
+        # warp, HSV, flips and normalize run on the TPU (kernels/augment.py).
+        # Requires every sample to take the mosaic branch (static shapes) and
+        # no host-side pixel-mixing augs.
+        self.device_aug = bool(device_aug) and augment
+        if self.device_aug:
+            h = self.hyp
+            if (h.get("mosaic", 0) < 1.0 or h.get("mixup", 0) > 0
+                    or h.get("copy_paste", 0) > 0 or h.get("cutout", 0) > 0):
+                LOGGER.warning(f"{prefix}device_aug needs mosaic=1.0 and no "
+                               "mixup/copy_paste/cutout; falling back to host augmentation")
+                self.device_aug = False
         self.rng = random.Random(0)
         self.albumentations = Albumentations(size=imgsz) if augment else None
         self.cache_ram = cache_images is True or cache_images == "ram"
@@ -264,13 +276,24 @@ class YoloDataset:
         return im, (h0, w0), im.shape[:2]
 
     # -- mosaic -------------------------------------------------------------
-    def load_mosaic(self, index):
+    def load_mosaic(self, index, compose: bool = True):
+        """4-image mosaic (reference utils/dataloaders.py:653-700).
+
+        compose=True: full host path — composite the 2s canvas and warp it.
+        compose=False (device_aug): pixel work is deferred to the TPU kernel
+        (kernels/augment.py mosaic_warp_hsv); returns
+        ((tiles, dst, off, inv_m), labels4, segments4) where labels are
+        already transformed by the SAME sampled matrix the device will apply.
+        """
         s = self.imgsz
         yc, xc = (int(self.rng.uniform(-x, 2 * s + x)) for x in self.mosaic_border)
         indices = [index] + self.rng.choices(self.indices, k=3)
         self.rng.shuffle(indices)
         labels4, segments4 = [], []
-        im4 = np.full((s * 2, s * 2, 3), 114, dtype=np.uint8)
+        im4 = np.full((s * 2, s * 2, 3), 114, dtype=np.uint8) if compose else None
+        tiles = np.zeros((4, s, s, 3), np.uint8) if not compose else None
+        dst = np.zeros((4, 4), np.float32)
+        off = np.zeros((4, 2), np.float32)
         for i, idx in enumerate(indices):
             img, _, (h, w) = self.load_image(idx)
             if i == 0:
@@ -285,7 +308,12 @@ class YoloDataset:
             else:
                 x1a, y1a, x2a, y2a = xc, yc, min(xc + w, s * 2), min(s * 2, yc + h)
                 x1b, y1b, x2b, y2b = 0, 0, min(w, x2a - x1a), min(y2a - y1a, h)
-            im4[y1a:y2a, x1a:x2a] = img[y1b:y2b, x1b:x2b]
+            if compose:
+                im4[y1a:y2a, x1a:x2a] = img[y1b:y2b, x1b:x2b]
+            else:
+                tiles[i, :h, :w] = img
+                dst[i] = (x1a, y1a, x2a, y2a)
+                off[i] = (x1b - x1a, y1b - y1a)
             padw, padh = x1a - x1b, y1a - y1b
             labels = self.labels[idx].copy()
             segments = [se.copy() for se in self.segments[idx]]
@@ -298,14 +326,29 @@ class YoloDataset:
         for x in (labels4[:, 1:], *segments4):
             np.clip(x, 0, 2 * s, out=x)
         hyp = self.hyp
-        im4, labels4, segments4 = copy_paste(im4, labels4, segments4,
-                                             p=hyp.get("copy_paste", 0.0), rng=self.rng)
-        im4, labels4, segments4 = random_perspective(
-            im4, labels4, segments4,
-            degrees=hyp.get("degrees", 0.0), translate=hyp.get("translate", 0.1),
-            scale=hyp.get("scale", 0.5), shear=hyp.get("shear", 0.0),
-            perspective=hyp.get("perspective", 0.0), border=self.mosaic_border, rng=self.rng)
-        return im4, labels4, segments4
+        if compose:
+            im4, labels4, segments4 = copy_paste(im4, labels4, segments4,
+                                                 p=hyp.get("copy_paste", 0.0), rng=self.rng)
+            im4, labels4, segments4 = random_perspective(
+                im4, labels4, segments4,
+                degrees=hyp.get("degrees", 0.0), translate=hyp.get("translate", 0.1),
+                scale=hyp.get("scale", 0.5), shear=hyp.get("shear", 0.0),
+                perspective=hyp.get("perspective", 0.0), border=self.mosaic_border, rng=self.rng)
+            return im4, labels4, segments4
+        # device path: sample the identical warp, transform labels on host,
+        # hand the matrix to the device (kernels/augment.py applies inv_m)
+        from yolo_dual_tpu.data.augment import (apply_perspective_to_labels,
+                                                sample_perspective_matrix)
+        persp = hyp.get("perspective", 0.0)
+        M, sc, (width, height) = sample_perspective_matrix(
+            (s * 2, s * 2), degrees=hyp.get("degrees", 0.0),
+            translate=hyp.get("translate", 0.1), scale=hyp.get("scale", 0.5),
+            shear=hyp.get("shear", 0.0), perspective=persp,
+            border=self.mosaic_border, rng=self.rng)
+        labels4, segments4 = apply_perspective_to_labels(
+            M, sc, persp, labels4, segments4, width, height)
+        inv_m = np.linalg.inv(M).astype(np.float32)
+        return (tiles, dst, off, inv_m), labels4, segments4
 
     # -- fixed-shape sample assembly ----------------------------------------
     def __getitem__(self, index):
@@ -313,7 +356,14 @@ class YoloDataset:
         use_mosaic = self.mosaic and self.rng.random() < hyp.get("mosaic", 0.0)
         ratio_pad = None
         shape0 = tuple(self.shapes[index][::-1]) if len(self.shapes) else (self.imgsz, self.imgsz)
-        if use_mosaic:
+        dev_geo = None
+        if use_mosaic and self.device_aug:
+            dev_geo, labels, segments = self.load_mosaic(index, compose=False)
+            img = None
+            # keep the rng stream aligned with the host path (its mixup coin),
+            # so host/device pipelines are seed-for-seed equivalent
+            self.rng.random()
+        elif use_mosaic:
             img, labels, segments = self.load_mosaic(index)
             if self.rng.random() < hyp.get("mixup", 0.0):
                 img2, labels2, segments2 = self.load_mosaic(self.rng.choice(self.indices))
@@ -340,7 +390,7 @@ class YoloDataset:
                     perspective=hyp.get("perspective", 0.0), rng=self.rng)
 
         nl = len(labels)
-        h, w = img.shape[:2]
+        h, w = (self.imgsz, self.imgsz) if dev_geo is not None else img.shape[:2]
         masks = None
         if self.task == "segment":
             if nl:
@@ -357,8 +407,10 @@ class YoloDataset:
         if nl:
             labels[:, 1:5] = np.asarray(xyxy2xywhn(labels[:, 1:5], w=w, h=h, clip=True, eps=1e-3))
 
+        hsv_gains = np.ones(3, np.float32)
+        flips = np.zeros(2, bool)
         if self.augment:
-            if nl and self.task != "segment":
+            if nl and self.task != "segment" and dev_geo is None:
                 # photometric albumentations adapter + cutout occlusion erase;
                 # detect-only (both may drop/reorder labels, which would break
                 # the label↔mask pairing) — reference utils/dataloaders.py:701
@@ -368,16 +420,26 @@ class YoloDataset:
                 if hyp.get("cutout", 0.0):
                     img, labels = cutout(img, labels, p=hyp["cutout"], rng=self.rng)
                 nl = len(labels)
-            img = augment_hsv(img, hyp.get("hsv_h", 0), hyp.get("hsv_s", 0),
-                              hyp.get("hsv_v", 0), rng=self.rng)
+            if dev_geo is not None:
+                # same gain distribution augment_hsv samples; applied on device
+                hsv_gains = (np.array([self.rng.uniform(-1, 1) for _ in range(3)])
+                             * [hyp.get("hsv_h", 0), hyp.get("hsv_s", 0),
+                                hyp.get("hsv_v", 0)] + 1).astype(np.float32)
+            else:
+                img = augment_hsv(img, hyp.get("hsv_h", 0), hyp.get("hsv_s", 0),
+                                  hyp.get("hsv_v", 0), rng=self.rng)
             if self.rng.random() < hyp.get("flipud", 0.0):
-                img = np.flipud(img).copy()
+                flips[0] = True
+                if img is not None:
+                    img = np.flipud(img).copy()
                 if nl:
                     labels[:, 2] = 1 - labels[:, 2]
                 if masks is not None:
                     masks = np.flipud(masks).copy()
             if self.rng.random() < hyp.get("fliplr", 0.0):
-                img = np.fliplr(img).copy()
+                flips[1] = True
+                if img is not None:
+                    img = np.fliplr(img).copy()
                 if nl:
                     labels[:, 1] = 1 - labels[:, 1]
                 if masks is not None:
@@ -397,10 +459,16 @@ class YoloDataset:
             targets[:kept] = labels[:kept]
             tmask[:kept] = True
 
-        out = {"image": img, "targets": targets, "tmask": tmask,
+        out = {"targets": targets, "tmask": tmask,
                "shape0": np.array(shape0, np.int32),
                "ratio_pad": np.array(ratio_pad[1] if ratio_pad else (0, 0), np.float32),
                "index": np.int32(index)}
+        if dev_geo is not None:
+            tiles, dst, off, inv_m = dev_geo
+            out.update(aug_tiles=tiles, aug_dst=dst, aug_off=off, aug_invm=inv_m,
+                       aug_hsv=hsv_gains, aug_flips=flips)
+        else:
+            out["image"] = img
         if masks is not None:
             if not self.overlap and masks.ndim == 3:
                 inst = np.zeros((M, h // self.mask_ratio, w // self.mask_ratio), np.float32)
@@ -458,7 +526,7 @@ def quad_collate(samples):
 def create_dataloader(path, imgsz, batch_size, stride=32, single_cls=False, hyp=None,
                       augment=False, pad=0.0, rect=False, workers=0, prefix="",
                       shuffle=False, mask_downsample_ratio=1, overlap_mask=False,
-                      seed=0, task=None, cache_images=False):
+                      seed=0, task=None, cache_images=False, device_aug=False):
     """Reference-compatible constructor (reference utils/segment/dataloaders.py:23-78).
     Returns (Loader, dataset). rect maps to aspect-ratio BUCKET batching — a
     fixed shape set instead of per-batch dynamic rectangles (TPU static
@@ -470,7 +538,7 @@ def create_dataloader(path, imgsz, batch_size, stride=32, single_cls=False, hyp=
     ds = YoloDataset(path, imgsz=imgsz, augment=augment, hyp=hyp, task=task,
                      mask_ratio=mask_downsample_ratio or 1, overlap=overlap_mask,
                      single_cls=single_cls, prefix=prefix, cache_images=cache_images,
-                     rect=rect, stride=stride)
+                     rect=rect, stride=stride, device_aug=device_aug)
     ds.rng.seed(seed)
     loader = Loader(ds, batch_size=batch_size, shuffle=shuffle, seed=seed, drop_last=False)
     return loader, ds
