@@ -118,6 +118,12 @@ def run(weights="", cfg="yolov5s-seg.yaml", nc=80, imgsz=640,
     if "torchpt" in include:
         # .pt keeps the unfused layout (torch importers expect BN keys)
         results["torchpt"] = export_torchpt(model, variables, out_dir / f"{stem}.pt")
+    if "onnx" in include:
+        # export_onnx folds conv+BN itself (it needs the unfused tree)
+        from yolo_dual_tpu.io.onnx_export import export_onnx
+        out = export_onnx(model, variables, imgsz, out_dir / f"{stem}.onnx")
+        LOGGER.info(f"exported ONNX -> {out}")
+        results["onnx"] = out
     if fuse:
         # conv+BN folding shrinks the exported inference graph
         model, variables = model.fuse(variables)
@@ -137,7 +143,7 @@ def parse_opt(argv=None):
     p.add_argument("--nc", type=int, default=80)
     p.add_argument("--imgsz", type=int, default=640)
     p.add_argument("--include", nargs="+", default=["torchpt"],
-                   choices=["torchpt", "savedmodel", "tflite"])
+                   choices=["torchpt", "savedmodel", "tflite", "onnx"])
     p.add_argument("--out-dir", default=str(ROOT / "runs" / "export"))
     p.add_argument("--fuse", action="store_true",
                    help="fold conv+BN before SavedModel/TFLite export")

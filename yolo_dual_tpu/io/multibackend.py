@@ -37,6 +37,8 @@ def detect_kind(w: Path) -> str:
         return "torchpt"
     if s.endswith(".tflite"):
         return "tflite"
+    if s.endswith(".onnx"):
+        return "onnx"
     if w.is_dir():
         if (w / "saved_model.pb").exists():
             return "savedmodel"
@@ -83,6 +85,13 @@ class MultiBackend:
         elif self.kind == "savedmodel":
             import tensorflow as tf
             self.tf_model = tf.saved_model.load(str(w))
+        elif self.kind == "onnx":
+            # OpenCV-DNN runtime (the reference's --dnn ONNX path,
+            # models/common.py:377-379); files come from export.py --include
+            # onnx (io/onnx_export.py, dependency-free writer)
+            import cv2
+            self.net = cv2.dnn.readNetFromONNX(str(w))
+            self._onnx_outs = list(self.net.getUnconnectedOutLayersNames())
         elif self.kind == "tflite":
             import tensorflow as tf
             self.interpreter = tf.lite.Interpreter(model_path=str(w))
@@ -115,6 +124,14 @@ class MultiBackend:
             if len(outs) >= 2:
                 return outs[0], outs[1]
             return outs[0], None
+        if self.kind == "onnx":
+            self.net.setInput(x.transpose(0, 3, 1, 2), "images")
+            names = [n for n in ("pred", "protos") if n in self._onnx_outs] \
+                or self._onnx_outs
+            outs = self.net.forward(names)
+            pred = outs[0]
+            protos = outs[1].transpose(0, 2, 3, 1) if len(outs) > 1 else None
+            return pred, protos
         if self.kind == "torchscript":
             import torch
             with torch.no_grad():
