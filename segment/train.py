@@ -109,7 +109,8 @@ def train(opt):
     import jax.numpy as jnp
     dtype = {"bf16": jnp.bfloat16, "f32": None}[opt.dtype]
     model = SegmentationModel(find_cfg(opt.cfg, "segment", "models"), nc=int(data["nc"]),
-                              dtype=dtype, blocked_stem=not opt.no_blocked_stem)
+                              dtype=dtype, blocked_stem=not opt.no_blocked_stem,
+                              fused_bn=getattr(opt, "fused_bn", False))
     variables = model.init(imgsz=imgsz)
     if opt.weights:
         from yolo_dual_tpu.io import import_torch_state_dict, load_torch_checkpoint
@@ -345,6 +346,10 @@ def parse_opt(argv=None):
     p.add_argument("--workers", type=int, default=0, help="accepted for parity (thread prefetch is used)")
     p.add_argument("--no-download", action="store_true",
                    help="refuse to execute the data yaml's download: hook")
+    p.add_argument("--fused-bn", action="store_true",
+                   help="custom-VJP bf16 BatchNorm in the train step "
+                        "(nn/common.py FusedBatchNorm; measured on TPU in "
+                        "tools/bench_fused_bn.py)")
     p.add_argument("--device-aug", action="store_true",
                    help="run mosaic composite + warp + HSV + flips on the TPU "
                         "(host does decode + label geometry only); needs "

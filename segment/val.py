@@ -54,7 +54,7 @@ def run(data="coco128-seg.yaml", weights="", cfg="yolov5s-seg.yaml", batch_size=
         save_dir=None, augment=False, save_json=False, rect=False, cache=False,
         fuse=True, device="", save_txt=False, save_conf=False, save_hybrid=False,
         project="runs/val-seg", name="exp", exist_ok=False, data_parallel=False,
-        no_download=False, **kw):
+        no_download=False, device_preprocess=False, **kw):
     from yolo_dual_tpu.utils.general import increment_path, select_device
     select_device(device)
     mesh = None
@@ -76,6 +76,7 @@ def run(data="coco128-seg.yaml", weights="", cfg="yolov5s-seg.yaml", batch_size=
     nc = 1 if single_cls else int(data["nc"])
     model, variables = load_model_and_weights(weights, cfg, nc, imgsz)
     loader, _ = create_dataloader(data[task if task in data else "val"], imgsz, batch_size,
+                                  device_preprocess=device_preprocess,
                                   augment=False, mask_downsample_ratio=mask_ratio,
                                   overlap_mask=True, task="segment", single_cls=single_cls,
                                   rect=rect, cache_images=cache)
@@ -146,6 +147,9 @@ def parse_opt(argv=None):
     p.add_argument("--half", action="store_true", help="parity flag (bf16 policy instead)")
     p.add_argument("--no-download", action="store_true",
                    help="refuse to execute the data yaml's download: hook")
+    p.add_argument("--device-preprocess", action="store_true",
+                   help="letterbox+normalize on the TPU (uniform-shape datasets: "
+                        "CamVid, video frames) — the serving predictor's path")
     return p.parse_args(argv)
 
 

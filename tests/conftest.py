@@ -31,10 +31,94 @@ def pytest_addoption(parser):
                           "full-size parity, CLI end-to-end flows)")
 
 
+# Measured-slow tests (>5 s on the 1-core build box, full-run durations log):
+# auto-marked slow so the default `pytest -q` fast lane finishes in ~2 min
+# while `pytest --runslow` is the complete suite. Every subsystem keeps
+# fast-lane representatives (small zoo configs, tiny parity/loss/NMS cases).
+MEASURED_SLOW = {
+    "tests/test_autoshape.py::test_autoshape_mixed_inputs_and_exports",
+    "tests/test_blocked_train.py::test_forward_and_stats_equivalent",
+    "tests/test_blocked_train.py::test_gradients_equivalent",
+    "tests/test_classify.py::test_build_classifier_torchvision_arch",
+    "tests/test_classify.py::test_classify_train_reaches_90pct_on_miniset",
+    "tests/test_data.py::test_device_aug_equivalence",
+    "tests/test_dcn.py::test_dcn_modules_build_and_run",
+    "tests/test_dcn.py::test_dcn_zoo_configs_now_build",
+    "tests/test_eval_dp.py::test_segment_eval_data_parallel_matches_single",
+    "tests/test_eval_dp.py::test_semantic_eval_data_parallel_matches_single",
+    "tests/test_eval_golden.py::test_segment_evaluator_perfect_predictions",
+    "tests/test_eval_golden.py::test_segment_evaluator_wrong_class_scores_zero",
+    "tests/test_eval_parity_full.py::test_full_eval_parity",
+    "tests/test_export.py::test_tflite_float_and_int8_roundtrip",
+    "tests/test_fuse.py::test_fuse_forward_parity[models/yolov5n.yaml-detect]",
+    "tests/test_fuse.py::test_fuse_forward_parity[segment/yolov5n-seg.yaml-segment]",
+    "tests/test_io_roundtrip.py::test_multibackend_torchpt",
+    "tests/test_kernels.py::test_c3_dcnv3_train_step_through_sampling",
+    "tests/test_losses.py::test_detect_loss_parity",
+    "tests/test_losses.py::test_segment_loss_parity[True]",
+    "tests/test_misc.py::test_mixconv_channel_sum_exact",
+    "tests/test_model_zoo.py::test_zoo_builds[backbone/efficientnet_v2_s.yaml]",
+    "tests/test_model_zoo.py::test_zoo_builds[hub/yolov5-p2.yaml]",
+    "tests/test_model_zoo.py::test_zoo_builds[hub/yolov5-p7.yaml]",
+    "tests/test_model_zoo.py::test_zoo_builds[hub/yolov5l6.yaml]",
+    "tests/test_model_zoo.py::test_zoo_builds[hub/yolov5x6.yaml]",
+    "tests/test_model_zoo.py::test_zoo_builds[models/yolov5x.yaml]",
+    "tests/test_model_zoo.py::test_zoo_builds[segment/yolov5l-seg.yaml]",
+    "tests/test_model_zoo.py::test_zoo_builds[segment/yolov5m-seg.yaml]",
+    "tests/test_model_zoo.py::test_zoo_builds[segment/yolov5x-seg.yaml]",
+    "tests/test_ops.py::test_block_nms_equals_greedy",
+    "tests/test_ops.py::test_cluster_nms_equals_greedy",
+    "tests/test_ops.py::test_full_nms_parity[False]",
+    "tests/test_ops.py::test_full_nms_parity[True]",
+    "tests/test_ops.py::test_nms_from_raw_matches_decode_then_nms",
+    "tests/test_ota.py::test_auxota_loss_parity",
+    "tests/test_ota.py::test_auxota_runs_and_is_finite",
+    "tests/test_ota.py::test_ota_gradients_flow",
+    "tests/test_ota.py::test_ota_loss_parity",
+    "tests/test_ota.py::test_ota_loss_parity_conflict_dense",
+    "tests/test_predictor.py::test_predict_device_preprocess_matches_host",
+    "tests/test_predictor.py::test_video_in_annotated_video_out",
+    "tests/test_remote.py::test_remote_model_roundtrip",
+    "tests/test_semantic_cli.py::test_semantic_train_cli_jaccard_flavor",
+    "tests/test_semantic_cli.py::test_semantic_train_cli_then_bare_resume",
+    "tests/test_small_parity.py::test_parity_coco128_staged",
+    "tests/test_small_parity.py::test_reshape_classifier_output",
+    "tests/test_torch_parity.py::test_forward_parity_tiny_yolo[detect]",
+    "tests/test_torch_parity.py::test_forward_parity_tiny_yolo[segment]",
+    "tests/test_torch_parity.py::test_mixconv_and_sum_oracle_parity",
+    "tests/test_torch_parity.py::test_train_mode_raw_parity",
+    "tests/test_torch_parity.py::test_tta_forward_augment_parity",
+    "tests/test_train_cli.py::test_train_then_bare_resume",
+    "tests/test_train_cli.py::test_train_device_aug_e2e",
+    "tests/test_trainer.py::test_multihost_two_process_dryrun",
+    "tests/test_trainer.py::test_segment_train_2d_mesh_matches_1d",
+    "tests/test_trainer.py::test_segment_train_step_runs_and_is_finite",
+    "tests/test_trainer.py::test_semantic_training_data_parallel_matches_single",
+    "tests/test_utils_behavior.py::test_attempt_load_single_and_ensemble",
+    "tests/test_utils_behavior.py::test_ensemble_cat_and_mean",
+    "tests/test_val_cli.py::test_val_cli_outputs",
+}
+
+
+# fast-lane zoo smoke: one config per family; the other ~60 builds run in the
+# slow lane (VERDICT r2 #7: "5-config smoke in the fast lane")
+FAST_ZOO_SMOKE = {
+    "models/yolov5n.yaml", "segment/yolov5n-seg.yaml", "backbone/resnet18.yaml",
+    "spp/yolov5n-ASPP.yaml", "attention/yolov5n-FPN-AS.yaml",
+}
+
+
 def pytest_collection_modifyitems(config, items):
-    """Fast lane by default: `pytest -q` skips @pytest.mark.slow and finishes
-    in ~2 minutes; `pytest --runslow` (or `-m slow`) runs everything. CI/judge
-    should use --runslow."""
+    """Fast lane by default: `pytest -q` skips @pytest.mark.slow and the
+    MEASURED_SLOW set, finishing in ~2 minutes; `pytest --runslow` (or
+    `-m slow`) runs everything. CI/judge should use --runslow."""
+    for item in items:
+        if item.nodeid in MEASURED_SLOW:
+            item.add_marker(pytest.mark.slow)
+        elif item.nodeid.startswith("tests/test_model_zoo.py::test_zoo_builds["):
+            param = item.nodeid.split("[", 1)[1].rstrip("]")
+            if param not in FAST_ZOO_SMOKE:
+                item.add_marker(pytest.mark.slow)
     if config.getoption("--runslow") or config.getoption("-m"):
         return
     skip = pytest.mark.skip(reason="slow: use --runslow")

@@ -50,3 +50,47 @@ def test_val_cli_outputs(tmp_path):
 
     assert list(run_dir.glob("*.png")) or list(run_dir.glob("*.jpg")), \
         "plots=True produced no image panels"
+
+
+def test_val_device_preprocess_matches_host(tmp_path):
+    """--device-preprocess evaluates through the TPU letterbox kernel
+    (kernels/preprocess.py, the serving path). With raw size == imgsz the
+    kernel is pad-only => metrics EXACTLY equal the host-letterbox run; mixed
+    shapes are rejected with a clear error."""
+    import importlib.util
+    import cv2
+    import numpy as np
+    import yaml
+    spec = importlib.util.spec_from_file_location("seg_val_devpp", ROOT / "segment/val.py")
+    val = importlib.util.module_from_spec(spec)
+    sys.modules["seg_val_devpp"] = val
+    spec.loader.exec_module(val)
+
+    root = tmp_path / "ds"
+    (root / "images/val").mkdir(parents=True)
+    (root / "labels/val").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+        cv2.rectangle(img, (16, 16), (48, 48), (255, 255, 255), -1)
+        cv2.imwrite(str(root / "images/val" / f"{i}.png"), img)
+        (root / "labels/val" / f"{i}.txt").write_text(
+            "0 0.25 0.25 0.75 0.25 0.75 0.75 0.25 0.75\n")
+    dy = root / "data.yaml"
+    dy.write_text(yaml.safe_dump(dict(path=str(root), train=str(root / "images/val"),
+                                      val=str(root / "images/val"), names=["a"])))
+
+    kw = dict(data=str(dy), cfg="yolov5n-seg.yaml", imgsz=64, batch_size=2,
+              conf_thres=0.1, plots=False)
+    host, _, _ = val.run(**kw)
+    dev, _, _ = val.run(device_preprocess=True, **kw)
+    np.testing.assert_allclose(np.asarray(dev, float), np.asarray(host, float),
+                               atol=1e-7)
+
+    # mixed raw shapes must be rejected up front
+    cv2.imwrite(str(root / "images/val" / "odd.png"),
+                rng.integers(0, 255, (48, 64, 3), dtype=np.uint8))
+    (root / "labels/val" / "odd.txt").write_text("0 0.5 0.5 0.4 0.4\n")
+    # invalidate the label cache (file set changed)
+    with pytest.raises(ValueError, match="uniform raw image shape"):
+        val.run(device_preprocess=True, **kw)

@@ -121,7 +121,8 @@ class YoloDataset:
                  task: str = "detect", mask_ratio: int = 4, overlap: bool = True,
                  max_labels: int = 120, prefix: str = "", single_cls: bool = False,
                  pad_extra: float = 0.0, cache_images=False, rect: bool = False,
-                 stride: int = 32, device_aug: bool = False):
+                 stride: int = 32, device_aug: bool = False,
+                 device_preprocess: bool = False):
         self.imgsz = imgsz
         self.augment = augment
         self.hyp = dict(hyp or {})
@@ -160,6 +161,18 @@ class YoloDataset:
         self.indices = list(range(self.n))
         self.ims = [None] * self.n          # RAM image cache slots
         self.npy_files = [Path(f).with_suffix(".npy") for f in self.im_files]
+
+        # device_preprocess (eval only): emit RAW uint8 frames; letterbox +
+        # normalize run on the TPU (kernels/preprocess.py, the serving path
+        # engine/predictor.py uses). Static shapes require every image to
+        # share one raw shape (camera/video-derived datasets, CamVid).
+        self.device_preprocess = bool(device_preprocess) and not augment
+        if self.device_preprocess and len(self.shapes):
+            uniq = {tuple(s) for s in self.shapes.astype(int).tolist()}
+            if len(uniq) > 1:
+                raise ValueError(
+                    f"device_preprocess needs one uniform raw image shape, got {sorted(uniq)[:5]}"
+                    f"{'...' if len(uniq) > 5 else ''}; use the host letterbox path")
 
         # rect: assign each image the smallest bucket shape that covers its
         # aspect ratio (h, w), stride-aligned; mosaic/augment stays square
@@ -368,6 +381,24 @@ class YoloDataset:
             if self.rng.random() < hyp.get("mixup", 0.0):
                 img2, labels2, segments2 = self.load_mosaic(self.rng.choice(self.indices))
                 img, labels, segments = mixup(img, labels, segments, img2, labels2, segments2)
+        elif self.device_preprocess:
+            # raw frame out; letterbox+normalize happen on the TPU
+            # (kernels/preprocess.py letterbox_normalize, scaleup=False) —
+            # labels/masks are mapped with the SAME geometry here on host
+            from yolo_dual_tpu.kernels.preprocess import letterbox_geometry
+            raw = cv2.cvtColor(cv2.imread(self.im_files[index]), cv2.COLOR_BGR2RGB)
+            h0, w0 = raw.shape[:2]
+            shape0 = (h0, w0)
+            s = self.imgsz
+            r, (left, top) = letterbox_geometry(h0, w0, s, scaleup=False)
+            ratio_pad = ((r, r), (left, top))
+            img = None
+            labels = self.labels[index].copy()
+            segments = [se.copy() for se in self.segments[index]]
+            if labels.size:
+                labels[:, 1:] = np.asarray(xywhn2xyxy(labels[:, 1:], r * w0, r * h0,
+                                                      left, top))
+                segments = [xyn2xy(se, r * w0, r * h0, left, top) for se in segments]
         else:
             img, (h0, w0), (h, w) = self.load_image(index)
             shape0 = (h0, w0)
@@ -390,7 +421,7 @@ class YoloDataset:
                     perspective=hyp.get("perspective", 0.0), rng=self.rng)
 
         nl = len(labels)
-        h, w = (self.imgsz, self.imgsz) if dev_geo is not None else img.shape[:2]
+        h, w = (self.imgsz, self.imgsz) if img is None else img.shape[:2]
         masks = None
         if self.task == "segment":
             if nl:
@@ -467,6 +498,8 @@ class YoloDataset:
             tiles, dst, off, inv_m = dev_geo
             out.update(aug_tiles=tiles, aug_dst=dst, aug_off=off, aug_invm=inv_m,
                        aug_hsv=hsv_gains, aug_flips=flips)
+        elif img is None:  # device_preprocess eval: raw frame for the TPU kernel
+            out["image_raw"] = raw
         else:
             out["image"] = img
         if masks is not None:
@@ -526,7 +559,8 @@ def quad_collate(samples):
 def create_dataloader(path, imgsz, batch_size, stride=32, single_cls=False, hyp=None,
                       augment=False, pad=0.0, rect=False, workers=0, prefix="",
                       shuffle=False, mask_downsample_ratio=1, overlap_mask=False,
-                      seed=0, task=None, cache_images=False, device_aug=False):
+                      seed=0, task=None, cache_images=False, device_aug=False,
+                      device_preprocess=False):
     """Reference-compatible constructor (reference utils/segment/dataloaders.py:23-78).
     Returns (Loader, dataset). rect maps to aspect-ratio BUCKET batching — a
     fixed shape set instead of per-batch dynamic rectangles (TPU static
@@ -538,7 +572,8 @@ def create_dataloader(path, imgsz, batch_size, stride=32, single_cls=False, hyp=
     ds = YoloDataset(path, imgsz=imgsz, augment=augment, hyp=hyp, task=task,
                      mask_ratio=mask_downsample_ratio or 1, overlap=overlap_mask,
                      single_cls=single_cls, prefix=prefix, cache_images=cache_images,
-                     rect=rect, stride=stride, device_aug=device_aug)
+                     rect=rect, stride=stride, device_aug=device_aug,
+                     device_preprocess=device_preprocess)
     ds.rng.seed(seed)
     loader = Loader(ds, batch_size=batch_size, shuffle=shuffle, seed=seed, drop_last=False)
     return loader, ds

@@ -38,16 +38,21 @@ def _resize_matrix(n_in: int, n_out: int) -> np.ndarray:
     return m
 
 
-@functools.partial(jax.jit, static_argnames=("out_size", "fill", "interpret"))
+@functools.partial(jax.jit, static_argnames=("out_size", "fill", "interpret", "scaleup"))
 def letterbox_normalize(images: jnp.ndarray, out_size: int = 640,
-                        fill: float = 114.0, interpret: bool = False) -> jnp.ndarray:
+                        fill: float = 114.0, interpret: bool = False,
+                        scaleup: bool = True) -> jnp.ndarray:
     """uint8 (B, H, W, 3) -> float32 (B, S, S, 3) in [0,1], aspect-preserving,
-    centered, gray-filled — the reference letterbox semantics, on device."""
+    centered, gray-filled — the reference letterbox semantics, on device.
+    scaleup=False pads small images instead of upscaling (the reference val
+    convention, utils/augmentations.py:120)."""
     from jax.experimental import pallas as pl
 
     b, h, w, c = images.shape
     s = out_size
     r = min(s / h, s / w)
+    if not scaleup:
+        r = min(r, 1.0)
     nh, nw = int(round(h * r)), int(round(w * r))
     top = (s - nh) // 2
     left = (s - nw) // 2
@@ -96,6 +101,16 @@ def letterbox_normalize(images: jnp.ndarray, out_size: int = 640,
         interpret=interpret,
     )(planes, rm, cm)
     return jnp.transpose(out, (0, 2, 3, 1))          # back to NHWC
+
+
+def letterbox_geometry(h: int, w: int, out_size: int, scaleup: bool = True):
+    """(ratio, (left, top)) the kernel applies — for host-side label/box
+    bookkeeping (the dataset's ratio_pad metadata)."""
+    r = min(out_size / h, out_size / w)
+    if not scaleup:
+        r = min(r, 1.0)
+    nh, nw = int(round(h * r)), int(round(w * r))
+    return r, ((out_size - nw) // 2, (out_size - nh) // 2)
 
 
 def letterbox_normalize_reference(images: np.ndarray, out_size: int = 640,

@@ -43,15 +43,16 @@ class GraphModel(nn.Module):
     dtype: Dtype = None
     fused: bool = False  # conv+BN folded variables (see BaseModel.fuse)
     blocked_stem: bool = False  # train-path s2d stem (nn/blocked_train.py)
+    fused_bn: bool = False  # custom-VJP train BatchNorm (nn/common.py FusedBatchNorm)
 
     @nn.compact
     def __call__(self, x, train: bool = False, decode: Optional[bool] = None):
-        from yolo_dual_tpu.nn.common import bn_config, fused_inference
+        from yolo_dual_tpu.nn.common import bn_config, fused_bn_vjp, fused_inference
         if self.spec.style == "semantic":
             ctx = bn_config(1e-5, 0.9)    # torch BatchNorm2d defaults
         else:
             ctx = bn_config(1e-3, 0.97)   # reference initialize_weights profile
-        with ctx, fused_inference(self.fused):
+        with ctx, fused_inference(self.fused), fused_bn_vjp(self.fused_bn and train):
             return self._walk(x, train, decode)
 
     def _walk(self, x, train: bool, decode: Optional[bool]):
@@ -146,7 +147,7 @@ class BaseModel:
 
     def __init__(self, cfg="yolov5s.yaml", ch: int = 3, nc: Optional[int] = None,
                  anchors=None, dtype: Dtype = None, verbose: bool = False,
-                 blocked_stem: bool = False):
+                 blocked_stem: bool = False, fused_bn: bool = False):
         self.yaml = _load_cfg(cfg)
         self.yaml_file = Path(cfg).name if isinstance(cfg, (str, Path)) else None
         spec = parse_config(self.yaml, ch=ch, nc=nc, anchors_override=anchors, verbose=verbose)
@@ -158,7 +159,8 @@ class BaseModel:
         # graph starts with the v5 Conv6/Conv3/C3/Conv3 pattern.
         from yolo_dual_tpu.nn import blocked as _blocked
         self.blocked_stem = bool(blocked_stem) and _blocked.eligible(spec)
-        self.module = GraphModel(spec, dtype, blocked_stem=self.blocked_stem)
+        self.module = GraphModel(spec, dtype, blocked_stem=self.blocked_stem,
+                                 fused_bn=fused_bn)
         self.nc = spec.nc
         self.names = {i: str(i) for i in range(spec.nc)}
         self.stride = np.array(spec.strides or [32])

@@ -61,12 +61,106 @@ def batch_norm(train: bool, name: str = "bn", dtype=None):
     (flax computes batch statistics in f32 regardless — verified identical for
     dtype=f32/bf16). Callers deliberately do NOT pass bf16 here: measured on
     v5e (tools/bench_train_breakdown.py, bs16@640 yolov5s-seg), bf16 normalize
-    cuts fwd(train) 13.1->11.2 ms but the BN backward regresses 18.7->29.3 ms,
-    net train throughput 401->369 img/s. f32 normalize wins end-to-end; the
-    inference path avoids BN entirely via conv+BN folding (model.fuse)."""
+    cuts fwd(train) 13.1->11.2 ms but the XLA-autodiff BN backward regresses
+    18.7->29.3 ms, net train throughput 401->369 img/s. f32 normalize wins
+    end-to-end *under autodiff*; `fused_bn_vjp` (below) instead hand-writes
+    the minimal closed-form backward so the bf16 forward win is kept without
+    the backward regression. The inference path avoids BN entirely via
+    conv+BN folding (model.fuse)."""
+    if train and _BN_CTX.get("fused_vjp"):
+        return FusedBatchNorm(momentum=_BN_CTX["momentum"], epsilon=_BN_CTX["eps"],
+                              dtype=_BN_CTX.get("fused_dtype") or jnp.bfloat16,
+                              name=name)
     return nn.BatchNorm(use_running_average=not train, momentum=_BN_CTX["momentum"],
                         epsilon=_BN_CTX["eps"],
                         dtype=jnp.float32 if dtype is None else dtype, name=name)
+
+
+@contextlib.contextmanager
+def fused_bn_vjp(on: bool = True, dtype=None):
+    """Enable the custom-VJP train-mode BatchNorm for modules built inside.
+    dtype=None keeps any normalize-dtype already set on the context (default
+    bf16), so callers/tests can pre-pin f32 for exact-parity checks."""
+    old_on, old_dt = _BN_CTX.get("fused_vjp"), _BN_CTX.get("fused_dtype")
+    _BN_CTX["fused_vjp"] = on
+    if dtype is not None:
+        _BN_CTX["fused_dtype"] = dtype
+    try:
+        yield
+    finally:
+        _BN_CTX.update(fused_vjp=old_on, fused_dtype=old_dt)
+
+
+@jax.custom_vjp
+def _bn_norm(x, mean, rstd, scale, bias):
+    """y = ((x - mean) * rstd) * scale + bias, elementwise in x.dtype."""
+    dt = x.dtype
+    xhat = (x - mean.astype(dt)) * rstd.astype(dt)
+    return xhat * scale.astype(dt) + bias.astype(dt)
+
+
+def _bn_norm_fwd(x, mean, rstd, scale, bias):
+    return _bn_norm(x, mean, rstd, scale, bias), (x, mean, rstd, scale)
+
+
+def _bn_norm_bwd(res, g):
+    """Closed-form BatchNorm backward (stats' dependence on x folded in):
+        dx = scale·rstd · (g − mean(g) − x̂·mean(g·x̂))
+    Elementwise passes stay in x.dtype (bf16 under the mixed policy); the two
+    per-channel reductions accumulate in f32. This is the minimal 3-pass form
+    the reference gets from cuDNN; XLA's autodiff of the f32 formulation emits
+    more HBM traffic (the measured 18.7→29.3 ms bf16 regression)."""
+    x, mean, rstd, scale = res
+    dt = x.dtype
+    f32 = jnp.float32
+    axes = tuple(range(x.ndim - 1))
+    n = jnp.float32(math.prod(x.shape[a] for a in axes) or 1)
+    xhat = (x - mean.astype(dt)) * rstd.astype(dt)
+    gsum = jnp.sum(g.astype(f32), axes)                       # == dbias
+    gxsum = jnp.sum((g * xhat).astype(f32), axes)             # == dscale
+    coef = (scale.astype(f32) * rstd.astype(f32)).astype(dt)
+    dx = coef * (g - (gsum / n).astype(dt) - xhat * (gxsum / n).astype(dt))
+    zeros_c = jnp.zeros_like(mean)
+    return dx, zeros_c, zeros_c, gxsum, gsum
+
+
+_bn_norm.defvjp(_bn_norm_fwd, _bn_norm_bwd)
+
+
+class FusedBatchNorm(nn.Module):
+    """Train-mode BatchNorm, variable-compatible with flax nn.BatchNorm
+    (params scale/bias, batch_stats mean/var — checkpoints, fuse() and torch
+    import are unaffected), with the normalize in `dtype` and the backward
+    hand-written (`_bn_norm_bwd`). Batch statistics are always f32; under a
+    sharded global batch the stats reduction is global by construction
+    (SyncBN semantics, SURVEY §2.4)."""
+
+    momentum: float = 0.97
+    epsilon: float = 1e-3
+    dtype: Optional[Dtype] = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        xf = x.astype(jnp.float32)
+        axes = tuple(range(x.ndim - 1))
+        mean = jnp.mean(xf, axes)
+        # flax convention: biased variance via E[x²] − E[x]²
+        var = jnp.maximum(jnp.mean(xf * xf, axes) - mean * mean, 0.0)
+        if not self.is_initializing():
+            ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+            ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        rstd = jax.lax.rsqrt(var + self.epsilon)
+        dt = self.dtype or x.dtype
+        y = _bn_norm(x.astype(dt), jax.lax.stop_gradient(mean),
+                     jax.lax.stop_gradient(rstd), scale, bias)
+        return y.astype(x.dtype)
 
 
 # Inference-time conv+BN folding (the reference's model.fuse()). When the flag
