@@ -95,7 +95,8 @@ def train(opt):
     if opt.data_parallel and jax.device_count() > 1:
         from yolo_dual_tpu.parallel import make_mesh
         mesh = make_mesh()
-    trainer = Trainer(model, loss_fn, tx, ema=ModelEMA(), task="classify", mesh=mesh,
+    trainer = Trainer(model, loss_fn, tx, ema=ModelEMA(decay=hyp.get("ema_decay", 0.9999),
+                                   tau=hyp.get("ema_tau", 2000.0)), task="classify", mesh=mesh,
                       dropout=bool(opt.dropout))
     state = trainer.init_state(dict(variables))
     step_fn = trainer.make_train_step()

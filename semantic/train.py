@@ -123,7 +123,8 @@ def train(opt):
     if not ok and opt.mask_dir:
         LOGGER.info(f"{len(missing)} JSON masks missing; converting from {opt.mask_dir}")
         batch_convert_masks_to_json(opt.mask_dir, opt.json_dir, CLASS_NAMES)
-    model = SemanticSegModel(find_cfg(opt.cfg), nc=opt.nc)
+    model = SemanticSegModel(find_cfg(opt.cfg), nc=opt.nc,
+                             fused_bn=getattr(opt, "fused_bn", True))
     variables = model.init(imgsz=opt.imgsz)
     if opt.weights and resume_ckpt is None:
         # partial pretrained load: keep shape-matching leaves (reference
@@ -160,7 +161,8 @@ def train(opt):
     if opt.data_parallel and jax.device_count() > 1:
         from yolo_dual_tpu.parallel import make_mesh
         mesh = make_mesh()
-    trainer = Trainer(model, loss_fn, tx, ema=ModelEMA(), task="semantic", mesh=mesh,
+    trainer = Trainer(model, loss_fn, tx, ema=ModelEMA(decay=hyp.get("ema_decay", 0.9999),
+                                   tau=hyp.get("ema_tau", 2000.0)), task="semantic", mesh=mesh,
                       accumulate=accumulate)
     state = trainer.init_state(variables)
     start_epoch = 0
@@ -288,6 +290,8 @@ def parse_opt(argv=None):
     p.add_argument("--exist-ok", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--data-parallel", action="store_true")
+    p.add_argument("--no-fused-bn", dest="fused_bn", action="store_false",
+                   help="disable the custom-VJP train BatchNorm")
     p.add_argument("--device", default="", help="parity flag")
     p.add_argument("--workers", type=int, default=0, help="parity flag")
     args = p.parse_args(argv)

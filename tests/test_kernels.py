@@ -11,7 +11,8 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 
 def test_dcnv3_pallas_matches_lax_core(rng):
-    from yolo_dual_tpu.kernels.dcn_sampling import _dcnv3_pallas_impl
+    """The banded gather-matrix kernel vs the lax core, in-band offsets."""
+    from yolo_dual_tpu.kernels.dcn_sampling import _dcnv3_banded_dispatch
     from yolo_dual_tpu.nn.dcn import dcnv3_core
 
     b, h, w, g, gc, k = 1, 8, 8, 2, 4, 3
@@ -24,20 +25,29 @@ def test_dcnv3_pallas_matches_lax_core(rng):
 
     ref = np.asarray(dcnv3_core(jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
                                 k, 1, 1, 1, g, gc, 1.0))
-    ours = np.asarray(_dcnv3_pallas_impl(jnp.asarray(x), jnp.asarray(offset),
-                                         jnp.asarray(mask), k, 1, g, gc, 1.0,
-                                         interpret=True))
+    ours = np.asarray(_dcnv3_banded_dispatch(jnp.asarray(x), jnp.asarray(offset),
+                                             jnp.asarray(mask), k, 1, 1, g, gc,
+                                             1.0, interpret=True))
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
 
 
-def test_dcnv3_pallas_fallback_for_large_shapes(rng):
-    from yolo_dual_tpu.kernels.dcn_sampling import dcnv3_core_pallas
-    x = rng.standard_normal((1, 96, 96, 8)).astype(np.float32)
-    offset = np.zeros((1, 96, 96, 18), np.float32)
-    mask = np.full((1, 96, 96, 9), 1 / 9, np.float32)
-    out = dcnv3_core_pallas(jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
-                            3, 1, 1, 1, 1, 8, 1.0)
-    assert out.shape == x.shape  # lax fallback path
+def test_dcnv3_pallas_band_escape_is_exact(rng):
+    """Offsets beyond the band trigger the runtime lax.cond fallback — the op
+    stays EXACT for arbitrary offsets (the band is a fast path, not a spec)."""
+    from yolo_dual_tpu.kernels.dcn_sampling import _dcnv3_banded_dispatch
+    from yolo_dual_tpu.nn.dcn import dcnv3_core
+
+    b, h, w, g, gc, k = 1, 24, 8, 1, 4, 3
+    x = rng.standard_normal((b, h, w, g * gc)).astype(np.float32)
+    offset = np.zeros((b, h, w, g * k * k * 2), np.float32)
+    offset[..., 1::2] = 15.0  # Δy way outside the 16-row band
+    mask = np.full((b, h, w, g * k * k), 1 / 9, np.float32)
+    ref = np.asarray(dcnv3_core(jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+                                k, 1, 1, 1, g, gc, 1.0))
+    ours = np.asarray(_dcnv3_banded_dispatch(jnp.asarray(x), jnp.asarray(offset),
+                                             jnp.asarray(mask), k, 1, 1, g, gc,
+                                             1.0, interpret=True))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
 
 
 def _dcnv3_inputs(rng, b=2, h=8, w=9, g=2, gc=4, k=3):
@@ -272,3 +282,40 @@ def test_hsv_jitter_matches_cv2(rng):
     dev = np.asarray(_hsv_jitter(jnp.asarray(img, jnp.float32), jnp.asarray(gains)))
     diff = np.abs(host.astype(np.float32) - dev)
     assert np.percentile(diff, 95) < 6.0, np.percentile(diff, 95)
+
+
+def test_dcnv3_banded_bwd_matches_lax_bwd(rng):
+    """The banded backward kernel vs the hand-derived lax backward
+    (nn.dcn.dcnv3_core_bwd) — dx, doffset, dmask all within float tolerance;
+    plus the band-escape cond path for wild offsets."""
+    from yolo_dual_tpu.kernels.dcn_sampling import _dcnv3_banded_bwd
+    from yolo_dual_tpu.nn.dcn import dcnv3_core_bwd
+
+    b, h, w, g, gc, k = 2, 9, 8, 2, 4, 3
+    c = g * gc
+    x = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    offset = (rng.standard_normal((b, h, w, g * k * k * 2)) * 2).astype(np.float32)
+    ml = rng.standard_normal((b, h, w, g, k * k)).astype(np.float32)
+    mask = (np.exp(ml) / np.exp(ml).sum(-1, keepdims=True)).reshape(b, h, w, -1)
+    gout = rng.standard_normal((b, h, w, c)).astype(np.float32)
+
+    args = (jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask.astype(np.float32)),
+            jnp.asarray(gout))
+    ref = dcnv3_core_bwd(*args, k, 1, 1, 1, g, gc, 1.0)
+    ours = _dcnv3_banded_bwd(*args, kernel=k, pad=1, dilation=1, group=g,
+                             group_channels=gc, offset_scale=1.0, interpret=True)
+    for a, r, name in zip(ours, ref, ("dx", "doffset", "dmask")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=1e-4,
+                                   atol=1e-4, err_msg=name)
+
+    # escape path: huge offsets -> lax branch, still exact
+    off_wild = offset.copy()
+    off_wild[..., 1::2] = 25.0
+    args_w = (jnp.asarray(x), jnp.asarray(off_wild),
+              jnp.asarray(mask.astype(np.float32)), jnp.asarray(gout))
+    ref_w = dcnv3_core_bwd(*args_w, k, 1, 1, 1, g, gc, 1.0)
+    ours_w = _dcnv3_banded_bwd(*args_w, kernel=k, pad=1, dilation=1, group=g,
+                               group_channels=gc, offset_scale=1.0, interpret=True)
+    for a, r, name in zip(ours_w, ref_w, ("dx", "doffset", "dmask")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=1e-4,
+                                   atol=1e-4, err_msg=name)

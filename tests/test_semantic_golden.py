@@ -37,7 +37,7 @@ GOLDENS = {
 SLACK = 0.10
 
 
-def make_camvid_scene(root: Path, n: int = 12, size: int = 96):
+def make_camvid_scene(root: Path, n: int = 24, size: int = 96):
     img_dir = root / "imgs"
     json_dir = root / "jsons"
     img_dir.mkdir(parents=True)
@@ -70,8 +70,20 @@ def camvid_scene(tmp_path_factory):
     return make_camvid_scene(tmp_path_factory.mktemp("camvid"))
 
 
-def _run_config(cfg, img_dir, json_dir, out_dir, epochs=6):
+def _run_config(cfg, img_dir, json_dir, out_dir, epochs=60):
+    """The sanity-train recipe (tools/sanity_train_semantic.py: lr0=0.05,
+    short warmup, ~120 steps) — the scratch-seg defaults (lr0=0.01, 3 warmup
+    epochs) barely move in this many steps."""
     import importlib.util
+
+    import yaml
+    hyp_path = Path(out_dir) / "hyp_golden.yaml"
+    hyp_path.parent.mkdir(parents=True, exist_ok=True)
+    hyp_path.write_text(yaml.safe_dump(dict(
+        lr0=0.05, lrf=0.2, momentum=0.9, weight_decay=5e-4, warmup_epochs=1.0,
+        warmup_momentum=0.8, warmup_bias_lr=0.1,
+        ema_decay=0.95, ema_tau=50.0)))  # short-horizon EMA: the reference
+    # 0.9999/2000 schedule is still ~at init after 120 steps
     spec = importlib.util.spec_from_file_location("sem_train_golden",
                                                   ROOT / "semantic" / "train.py")
     mod = importlib.util.module_from_spec(spec)
@@ -80,6 +92,7 @@ def _run_config(cfg, img_dir, json_dir, out_dir, epochs=6):
     opt = mod.parse_opt([
         "--cfg", cfg, "--img-dir", str(img_dir), "--json-dir", str(json_dir),
         "--imgsz", "96", "--batch-size", "4", "--epochs", str(epochs),
+        "--hyp", str(hyp_path),
         "--loss", "dice", "--project", str(out_dir), "--name", cfg.split(".")[0],
         "--seed", "3"])
     return mod.train(opt)

@@ -74,13 +74,18 @@ def bench_shape(h, w, c, group, impl: str, bwd: bool):
     @jax.jit
     def loop(xx, oo, mm, iters):
         def body(i, acc):
-            xi = xx + i.astype(jnp.float32) * 1e-6
-            out = f(xi, oo, mm)
+            # perturb the OFFSETS: sampling is LINEAR in x, so an x
+            # perturbation lets XLA hoist the whole grad out of the loop
+            # (measured: bwd slope collapsed to ~0)
+            oi = oo + i.astype(jnp.float32) * 1e-5
+            out = f(xx, oi, mm)
             leaf = out[0] if isinstance(out, tuple) else out
             return acc + (leaf.sum() if hasattr(leaf, "sum") else leaf)
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
-    return _slope(lambda n: loop(x, off, m, n))
+    # keep timed calls bounded at the slow (big-map) cells
+    n2 = 6 if h * w >= 80 * 80 else 20
+    return _slope(lambda n: loop(x, off, m, n), n2=n2)
 
 
 def main():

@@ -7,22 +7,33 @@ same role its `dcnv3_im2col` kernel plays on GPU, with
 implementation for parity tests — mirroring the reference's own
 kernel-vs-`dcnv3_core_pytorch` test strategy (ops_dcnv3/test.py).
 
-Kernel strategy (TPU has no fast per-lane gather; scatter/gather is the
-weakest primitive — SURVEY §7 hard-parts #2):
+Kernel strategy (r3 — replaces the r2 one-hot-per-corner kernel, which lost
+to XLA everywhere ≥40×40 and failed to compile on some shapes):
 
-- Grid over (batch·group, row-blocks of the output).
-- The padded input feature slab for one (batch, group) lives in VMEM
-  (H·W·gc ≤ a few MB for every config in the zoo at ≤80×80×256).
-- For each of the K = k² kernel points, the kernel computes the four bilinear
-  corner addresses for a whole (BLOCK_H·W) row-block at once and resolves the
-  gather as DYNAMIC ROW SLICES + a one-hot column matmul on the MXU:
-  rows are contiguous in VMEM (cheap dynamic slice), and the column gather
-  becomes sel(P, W) @ slab(W, gc) — MXU work instead of scalar loads.
-- Masks multiply in VMEM and accumulate over K in a f32 scratch.
+**Banded gather-matrix formulation.** TPU has no per-lane gather, but XLA's
+own gather lowering at these shapes is ~60x off the memory bound (measured
+319 ms for one bs16 80×80×256 layer). Instead, for each output row j the
+kernel materializes a small gather matrix
 
-This file provides `dcnv3_core_pallas` with the identical signature/semantics
-as the lax core, plus `use_pallas()` heuristics. Out-of-scope shapes fall back
-to the lax path automatically.
+    A (wo, B·win):  A[p, y_local·win + x] = Σ_{kernel pts, corners}
+                                            bilinear_wgt · softmax_mask
+
+over a BAND of B input rows centered on j (every sample of output row j lands
+within ±B/2 rows for any offset the band covers — verified at trace time by a
+runtime predicate, with `lax.cond` falling back to the exact lax core when a
+wild offset escapes the band). The entire row's sampling then collapses to ONE
+MXU matmul  A @ band(B·win, gc): ~7 MFLOP per (row, batch·group) program at
+80×80/gc32 — ~34 GFLOP per bs16 batch, i.e. milliseconds, with the (hin, win,
+gc) slab resident in VMEM (≤2 MB for every zoo shape). Folding the kk kernel
+points into A (a VPU scatter-free accumulation of one-hots) is what removes
+the kk factor from the matmul.
+
+The backward uses the same banded formulation (`_dcnv3_banded_bwd`): per-row
+corner values come back as H @ band matmuls and the input-gradient scatter is
+its transpose H^T @ (g·w·mask) accumulated into a VMEM slab — replacing the
+lax scatter backward that measured ~1000 ms/layer at bs16 80×80
+(tools/bench_dcn.py). Both paths share `nn.dcn.dcnv3_core_bwd` math and are
+parity-tested against it.
 """
 
 from __future__ import annotations
@@ -36,44 +47,54 @@ import numpy as np
 from yolo_dual_tpu.utils.general import LOGGER
 
 
-def _supported(x, kernel, stride, dilation, pad=1):
+def _band_geometry(kernel: int, dilation: int):
+    """(band_size B, center offset c): sampling rows for output row j span
+    j + [0, dil·(k−1)] + offset_y; the band [j+c−B/2, j+c+B/2) is centered on
+    that span."""
+    extent = dilation * (kernel - 1)
+    c = extent // 2 + 1
+    b = max(16, ((extent + 12) + 7) // 8 * 8)
+    return b, c
+
+
+def _supported(x, kernel, stride, dilation, group_channels, pad=1):
     b, h, w, c = x.shape
-    kk = kernel * kernel
-    hin, win = h + 2 * pad, w + 2 * pad  # padded extents scale with the
-    # layer's actual pad (kernel 5 -> pad 2, etc.), not a hardcoded 1 —
-    # otherwise the VMEM estimate under-counts and the gate admits shapes
-    # whose sel matrix blows the budget (compile fails + per-call retry)
-    onehot_bytes = (w * kk) * (hin * win) * 4
-    return stride == 1 and dilation == 1 and onehot_bytes <= 6 * 1024 * 1024
+    hin, win = h + 2 * pad, w + 2 * pad
+    band = min(_band_geometry(kernel, dilation)[0], hin)
+    slab_bytes = hin * win * group_channels * 4
+    a_bytes = w * band * win * 4
+    return (stride == 1
+            and slab_bytes <= 8 * 1024 * 1024 and a_bytes <= 4 * 1024 * 1024)
 
 
 def use_pallas(x, kernel: int, stride: int, dilation: int,
                group: int, group_channels: int, pad: int = 1) -> bool:
-    """Dispatch heuristic for impl='auto'.
-
-    The one-hot-MXU gather does hin·win/4 redundant FLOPs per corner versus
-    an ideal gather; it wins only where the map is small enough that the MXU
-    would otherwise idle and the sel matrix fits VMEM. Measured on a real
-    v5e (tools/bench_dcn.py, r2): the XLA-gather lax core wins at every zoo
-    shape ≥40×40, so 'auto' selects Pallas only for small maps on TPU."""
+    """Dispatch heuristic for impl='auto': the banded kernel applies wherever
+    its slab fits VMEM; tools/bench_dcn.py holds the measured table."""
     import jax as _jax
     if _jax.default_backend() not in ("tpu", "axon"):
         return False
-    b, h, w, c = x.shape
-    return _supported(x, kernel, stride, dilation, pad) and h * w <= 40 * 40
+    return _supported(x, kernel, stride, dilation, group_channels, pad)
 
 
 def dcnv3_core_pallas(x, offset, mask, kernel: int, stride: int, pad: int,
                       dilation: int, group: int, group_channels: int,
                       offset_scale: float, interpret: bool = False):
-    """Pallas DCNv3 sampling; falls back to the lax core when unsupported."""
+    """Banded Pallas DCNv3 sampling with exact fallback.
+
+    Escape hatch semantics: the banded kernel is exact whenever every sampling
+    row lies within its band (true for any offset_y in roughly ±(B/2−2) px —
+    trained DCN offsets are a few px). A runtime `lax.cond` checks the actual
+    offsets and runs the lax core for the (rare, untrained-extreme) batches
+    that escape, so the op is ALWAYS exact."""
     from yolo_dual_tpu.nn.dcn import dcnv3_core
-    if not _supported(x, kernel, stride, dilation, pad):
+    if not _supported(x, kernel, stride, dilation, group_channels, pad):
         return dcnv3_core(x, offset, mask, kernel, stride, pad, dilation, group,
                           group_channels, offset_scale)
     try:
-        return _dcnv3_pallas_impl(x, offset, mask, kernel, pad, group,
-                                  group_channels, offset_scale, interpret)
+        return _dcnv3_banded_dispatch(x, offset, mask, kernel, pad, dilation,
+                                      group, group_channels, offset_scale,
+                                      interpret)
     except Exception as e:  # pragma: no cover - compile-support fallback
         LOGGER.warning(f"pallas dcnv3 kernel unavailable ({e}); using lax core")
         return dcnv3_core(x, offset, mask, kernel, stride, pad, dilation, group,
@@ -89,7 +110,7 @@ def dcnv3_sampling(x, offset, mask, kernel, stride, pad, dilation, group,
                    group_channels, offset_scale, impl="auto"):
     """Differentiable DCNv3 sampling with implementation dispatch.
 
-    Forward: Pallas one-hot-MXU kernel (`_dcnv3_pallas_impl`) or lax core by
+    Forward: banded Pallas kernel (`_dcnv3_banded_dispatch`) or lax core by
     the `use_pallas` heuristic (impl='auto'), or forced with impl='pallas' /
     impl='lax'. Backward: the hand-derived `nn.dcn.dcnv3_core_bwd`
     (input scatter-add + offset/mask chain rule — the TPU counterpart of the
@@ -116,70 +137,110 @@ def _dcnv3_sampling_bwd(kernel, stride, pad, dilation, group, group_channels,
                         offset_scale, impl, res, g):
     from yolo_dual_tpu.nn.dcn import dcnv3_core_bwd
     x, offset, mask = res
-    return dcnv3_core_bwd(x, offset, mask, g, kernel, stride, pad, dilation,
-                          group, group_channels, offset_scale)
+    if impl == "lax":
+        return dcnv3_core_bwd(x, offset, mask, g, kernel, stride, pad, dilation,
+                              group, group_channels, offset_scale)
+    return dcnv3_bwd_dispatch(x, offset, mask, g, kernel, stride, pad, dilation,
+                              group, group_channels, offset_scale)
 
 
 dcnv3_sampling.defvjp(_dcnv3_sampling_fwd, _dcnv3_sampling_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("kernel", "pad", "group",
-                                             "group_channels", "offset_scale", "interpret"))
-def _dcnv3_pallas_impl(x, offset, mask, kernel, pad, group, group_channels,
-                       offset_scale, interpret=False):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+@functools.partial(jax.jit, static_argnames=("kernel", "pad", "dilation", "group",
+                                             "group_channels", "offset_scale",
+                                             "interpret"))
+def _dcnv3_banded_dispatch(x, offset, mask, kernel, pad, dilation, group,
+                           group_channels, offset_scale, interpret=False):
+    """Runtime band check + cond between the banded kernel and the lax core."""
+    from yolo_dual_tpu.nn.dcn import dcnv3_coords, dcnv3_core
 
     b, h, w, c = x.shape
     kk = kernel * kernel
     gc = group_channels
     hin, win = h + 2 * pad, w + 2 * pad
+    band, center = _band_geometry(kernel, dilation)
+    band = min(band, hin)  # small maps: the band IS the whole slab (no escapes)
 
-    # Precompute padded input per (batch, group): (b*g, hin, win, gc)
-    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
-    xg = xp.reshape(b, hin, win, group, gc).transpose(0, 3, 1, 2, 4) \
-        .reshape(b * group, hin, win, gc)
-
-    # Sampling pixel coords from the shared helper (pure element-wise),
-    # guaranteeing bit-identical coordinates with the lax core and backward
-    from yolo_dual_tpu.nn.dcn import dcnv3_coords
-    sxf, syf = dcnv3_coords(offset, kernel, 1, pad, 1, group, h, w, offset_scale)
+    sxf, syf = dcnv3_coords(offset, kernel, 1, pad, dilation, group, h, w,
+                            offset_scale)
     sx = sxf.reshape(b * group, h, w, kk)
     sy = syf.reshape(b * group, h, w, kk)
     m = mask.reshape(b, h, w, group, kk).transpose(0, 3, 1, 2, 4) \
         .reshape(b * group, h, w, kk).astype(jnp.float32)
 
+    # band-escape predicate: any corner row that is INSIDE the padded image
+    # but OUTSIDE its output row's band (out-of-image corners contribute 0)
+    j_rows = jnp.arange(h, dtype=jnp.float32)[None, :, None, None]
+    r0 = jnp.clip(j_rows + center - band // 2, 0, hin - band)
+    y0 = jnp.floor(sy)
+    esc = jnp.zeros((), bool)
+    for dy in (0.0, 1.0):
+        yi = y0 + dy
+        esc = esc | jnp.any((yi >= 0) & (yi < hin)
+                            & ((yi < r0) | (yi >= r0 + band)))
+
+    def run_banded(args):
+        xx, sxx, syy, mm = args
+        return _dcnv3_banded_impl(xx, sxx, syy, mm, kernel, pad, group, gc,
+                                  band, center, interpret)
+
+    def run_lax(args):
+        xx, _sxx, _syy, _mm = args
+        return dcnv3_core(xx, offset, mask, kernel, 1, pad, dilation, group,
+                          gc, offset_scale)
+
+    return jax.lax.cond(esc, run_lax, run_banded, (x, sx, sy, m))
+
+
+def _dcnv3_banded_impl(x, sx, sy, m, kernel, pad, group, gc, band, center,
+                       interpret=False):
+    from jax.experimental import pallas as pl
+
+    b, h, w, c = x.shape
+    kk = kernel * kernel
+    hin, win = h + 2 * pad, w + 2 * pad
+    bw = band * win
+
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    xg = xp.reshape(b, hin, win, group, gc).transpose(0, 3, 1, 2, 4) \
+        .reshape(b * group, hin, win, gc).astype(jnp.float32)
+
     def body(xg_ref, sx_ref, sy_ref, m_ref, out_ref):
-        # one (batch·group, output-row) per program: W output pixels
-        slab = xg_ref[...]                        # (hin, win, gc) in VMEM
-        slab2d = slab.reshape(hin * win, gc)
+        j = pl.program_id(1)
+        r0 = jnp.clip(j + center - band // 2, 0, hin - band)
+        band_rows = xg_ref[0, pl.ds(r0, band)]            # (band, win, gc)
+        band2d = band_rows.reshape(bw, gc)
         sxr = sx_ref[...].reshape(w, kk)
         syr = sy_ref[...].reshape(w, kk)
         mr = m_ref[...].reshape(w, kk)
-        acc = jnp.zeros((w, gc), jnp.float32)
         x0 = jnp.floor(sxr)
         y0 = jnp.floor(syr)
-        wx = (sxr - x0)
-        wy = (syr - y0)
+        wx = sxr - x0
+        wy = syr - y0
+        a = jnp.zeros((w, bw), jnp.float32)
+        r0f = r0.astype(jnp.float32)
         for dy in (0, 1):
             for dx in (0, 1):
                 yi = y0 + dy
                 xi = x0 + dx
                 inb = (xi >= 0) & (xi < win) & (yi >= 0) & (yi < hin)
-                yc = jnp.clip(yi, 0, hin - 1).astype(jnp.int32)
-                xc = jnp.clip(xi, 0, win - 1).astype(jnp.int32)
-                flat = yc * win + xc                       # (w, kk)
-                wgt = (jnp.where(dy == 1, wy, 1 - wy) *
-                       jnp.where(dx == 1, wx, 1 - wx))
-                wgt = jnp.where(inb, wgt, 0.0) * mr        # (w, kk)
-                # one-hot matmul gather: (w*kk, hin*win) @ (hin*win, gc) on MXU
-                sel = jax.nn.one_hot(flat.reshape(-1), hin * win, dtype=jnp.float32)
-                gathered = jax.lax.dot_general(
-                    sel, slab2d.astype(jnp.float32),
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32).reshape(w, kk, gc)
-                acc = acc + (gathered * wgt[..., None]).sum(axis=1)
-        out_ref[...] = acc.astype(out_ref.dtype).reshape(1, 1, w, gc)
+                yl = yi - r0f
+                inband = (yl >= 0) & (yl < band)
+                wgt = (jnp.where(dy == 1, wy, 1 - wy)
+                       * jnp.where(dx == 1, wx, 1 - wx))
+                wgt = jnp.where(inb & inband, wgt, 0.0) * mr      # (w, kk)
+                flat = (jnp.clip(yl, 0, band - 1).astype(jnp.int32) * win
+                        + jnp.clip(xi, 0, win - 1).astype(jnp.int32))
+                # accumulate all kk kernel points into the (w, bw) gather
+                # matrix — the kk axis disappears before the matmul
+                for q in range(kk):
+                    a = a + jax.nn.one_hot(flat[:, q], bw,
+                                           dtype=jnp.float32) * wgt[:, q:q + 1]
+        out = jax.lax.dot_general(a, band2d,
+                                  dimension_numbers=(((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        out_ref[...] = out.astype(out_ref.dtype).reshape(1, 1, w, gc)
 
     grid = (b * group, h)
     out = pl.pallas_call(
@@ -196,3 +257,187 @@ def _dcnv3_pallas_impl(x, offset, mask, kernel, pad, group, group_channels,
         interpret=interpret,
     )(xg, sx, sy, m)
     return out.reshape(b, group, h, w, gc).transpose(0, 2, 3, 1, 4).reshape(b, h, w, c)
+
+
+# ---------------------------------------------------------------------------
+# Banded BACKWARD kernel — the TPU counterpart of the reference's
+# dcnv3_col2im CUDA backward (src/cuda/dcnv3_im2col_cuda.cuh). The lax
+# scatter backward measured ~1000 ms for one bs16 80x80 layer (tools/
+# bench_dcn.py); here every per-row gather/scatter is a small MXU matmul
+# against the band: values v_c = H @ band, input grad dx_band += H^T @ (g·w·m)
+# with H the per-(corner, kernel-point) one-hot matrix — built on the VPU,
+# never touching HBM.
+# ---------------------------------------------------------------------------
+
+
+def dcnv3_bwd_dispatch(x, offset, mask, g_out, kernel, stride, pad, dilation,
+                       group, group_channels, offset_scale, interpret=False):
+    """(dx, doffset, dmask) via the banded kernel when shapes+offsets allow,
+    else the exact lax backward (`nn.dcn.dcnv3_core_bwd`)."""
+    from yolo_dual_tpu.nn.dcn import dcnv3_core_bwd
+    if (stride != 1
+            or not _supported(x, kernel, stride, dilation, group_channels, pad)
+            or jax.default_backend() not in ("tpu", "axon") and not interpret):
+        return dcnv3_core_bwd(x, offset, mask, g_out, kernel, stride, pad,
+                              dilation, group, group_channels, offset_scale)
+    return _dcnv3_banded_bwd(x, offset, mask, g_out, kernel, pad, dilation,
+                             group, group_channels, offset_scale, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "pad", "dilation", "group",
+                                             "group_channels", "offset_scale",
+                                             "interpret"))
+def _dcnv3_banded_bwd(x, offset, mask, g_out, kernel, pad, dilation, group,
+                      group_channels, offset_scale, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from yolo_dual_tpu.nn.dcn import dcnv3_coords, dcnv3_core_bwd
+
+    b, h, w, c = x.shape
+    kk = kernel * kernel
+    gc = group_channels
+    hin, win = h + 2 * pad, w + 2 * pad
+    band, center = _band_geometry(kernel, dilation)
+    band = min(band, hin)
+    bw = band * win
+    bg = b * group
+    f32 = jnp.float32
+
+    sxf, syf = dcnv3_coords(offset.astype(f32), kernel, 1, pad, dilation, group,
+                            h, w, offset_scale)
+    sx = sxf.reshape(bg, h, w, kk)
+    sy = syf.reshape(bg, h, w, kk)
+    m = mask.astype(f32).reshape(b, h, w, group, kk).transpose(0, 3, 1, 2, 4) \
+        .reshape(bg, h, w, kk)
+    gg = g_out.astype(f32).reshape(b, h, w, group, gc).transpose(0, 3, 1, 2, 4) \
+        .reshape(bg, h, w, gc)
+    xp = jnp.pad(x.astype(f32), ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    xg = xp.reshape(b, hin, win, group, gc).transpose(0, 3, 1, 2, 4) \
+        .reshape(bg, hin, win, gc)
+
+    # band-escape predicate (same geometry as the forward dispatch)
+    j_rows = jnp.arange(h, dtype=f32)[None, :, None, None]
+    r0v = jnp.clip(j_rows + center - band // 2, 0, hin - band)
+    y0v = jnp.floor(sy)
+    esc = jnp.zeros((), bool)
+    for dy in (0.0, 1.0):
+        yi = y0v + dy
+        esc = esc | jnp.any((yi >= 0) & (yi < hin)
+                            & ((yi < r0v) | (yi >= r0v + band)))
+
+    def body(xg_ref, sx_ref, sy_ref, m_ref, gg_ref, dx_ref, dsx_ref, dsy_ref,
+             dm_ref, dslab):
+        dslab[...] = jnp.zeros((hin * win, gc), f32)
+
+        def row(j, _):
+            r0 = jnp.clip(j + center - band // 2, 0, hin - band)
+            band2d = xg_ref[0, pl.ds(r0, band)].reshape(bw, gc)
+            sxr = sx_ref[0, pl.ds(j, 1)].reshape(w, kk)
+            syr = sy_ref[0, pl.ds(j, 1)].reshape(w, kk)
+            mr = m_ref[0, pl.ds(j, 1)].reshape(w, kk)
+            g_row = gg_ref[0, pl.ds(j, 1)].reshape(w, gc)
+            x0 = jnp.floor(sxr)
+            y0 = jnp.floor(syr)
+            wx = sxr - x0
+            wy = syr - y0
+            r0f = r0.astype(f32)
+            dsx_acc = jnp.zeros((w, kk), f32)
+            dsy_acc = jnp.zeros((w, kk), f32)
+            dm_acc = jnp.zeros((w, kk), f32)
+            dband = jnp.zeros((bw, gc), f32)
+            for q in range(kk):
+                mq = mr[:, q:q + 1]                           # (w, 1)
+                dsamp_q = g_row * mq                          # (w, gc)
+                vals = {}
+                for dy in (0, 1):
+                    for dx_ in (0, 1):
+                        yi = y0[:, q] + dy
+                        xi = x0[:, q] + dx_
+                        inb = ((xi >= 0) & (xi < win) & (yi >= 0) & (yi < hin)
+                               & (yi - r0f >= 0) & (yi - r0f < band))
+                        flat = (jnp.clip(yi - r0f, 0, band - 1).astype(jnp.int32)
+                                * win
+                                + jnp.clip(xi, 0, win - 1).astype(jnp.int32))
+                        hmat = (jax.nn.one_hot(flat, bw, dtype=f32)
+                                * inb[:, None].astype(f32))   # (w, bw)
+                        v = jax.lax.dot_general(
+                            hmat, band2d,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=f32)       # (w, gc)
+                        vals[(dy, dx_)] = v
+                        wgt = (jnp.where(dy == 1, wy[:, q], 1 - wy[:, q])
+                               * jnp.where(dx_ == 1, wx[:, q], 1 - wx[:, q]))
+                        # dx scatter: H^T @ (g·mask·wgt)
+                        dband = dband + jax.lax.dot_general(
+                            hmat, dsamp_q * wgt[:, None],
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=f32)       # (bw, gc)
+                v00, v01 = vals[(0, 0)], vals[(0, 1)]
+                v10, v11 = vals[(1, 0)], vals[(1, 1)]
+                wxq = wx[:, q:q + 1]
+                wyq = wy[:, q:q + 1]
+                samp_q = (v00 * (1 - wxq) * (1 - wyq) + v01 * wxq * (1 - wyq)
+                          + v10 * (1 - wxq) * wyq + v11 * wxq * wyq)
+                dd_dwx = (1 - wyq) * (v01 - v00) + wyq * (v11 - v10)
+                dd_dwy = (1 - wxq) * (v10 - v00) + wxq * (v11 - v01)
+                dsx_acc = dsx_acc.at[:, q].set(
+                    (dsamp_q * dd_dwx).sum(-1) * offset_scale)
+                dsy_acc = dsy_acc.at[:, q].set(
+                    (dsamp_q * dd_dwy).sum(-1) * offset_scale)
+                dm_acc = dm_acc.at[:, q].set((samp_q * g_row).sum(-1))
+            dslab[pl.ds(r0 * win, bw)] += dband
+            dsx_ref[0, pl.ds(j, 1)] = dsx_acc.reshape(1, w, kk)
+            dsy_ref[0, pl.ds(j, 1)] = dsy_acc.reshape(1, w, kk)
+            dm_ref[0, pl.ds(j, 1)] = dm_acc.reshape(1, w, kk)
+            return 0
+
+        jax.lax.fori_loop(0, h, row, 0)
+        dx_ref[...] = dslab[...].reshape(1, hin, win, gc)
+
+    outs = pl.pallas_call(
+        body,
+        grid=(bg,),
+        in_specs=[
+            pl.BlockSpec((1, hin, win, gc), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, h, w, kk), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, h, w, kk), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, h, w, kk), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, h, w, gc), lambda i: (i, 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, hin, win, gc), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, h, w, kk), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, h, w, kk), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, h, w, kk), lambda i: (i, 0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bg, hin, win, gc), f32),
+            jax.ShapeDtypeStruct((bg, h, w, kk), f32),
+            jax.ShapeDtypeStruct((bg, h, w, kk), f32),
+            jax.ShapeDtypeStruct((bg, h, w, kk), f32),
+        ],
+        scratch_shapes=[pltpu.VMEM((hin * win, gc), f32)],
+        interpret=interpret,
+    )(xg, sx, sy, m, gg)
+    dxg, dsx_o, dsy_o, dm_o = outs
+
+    def banded_result(_):
+        dxp = dxg.reshape(b, group, hin, win, gc).transpose(0, 2, 3, 1, 4) \
+            .reshape(b, hin, win, c)
+        dx = dxp[:, pad:hin - pad, pad:win - pad, :]
+
+        def unflat(t):  # (bg, h, w, kk) -> (b, h, w, group, kk)
+            return t.reshape(b, group, h, w, kk).transpose(0, 2, 3, 1, 4)
+
+        doff = jnp.stack([unflat(dsx_o), unflat(dsy_o)], axis=-1) \
+            .reshape(b, h, w, group * kk * 2)
+        dmask = unflat(dm_o).reshape(b, h, w, group * kk)
+        return (dx.astype(x.dtype), doff.astype(offset.dtype),
+                dmask.astype(mask.dtype))
+
+    def lax_result(_):
+        return dcnv3_core_bwd(x, offset, mask, g_out, kernel, 1, pad, dilation,
+                              group, gc, offset_scale)
+
+    return jax.lax.cond(esc, lax_result, banded_result, None)

@@ -52,7 +52,10 @@ class GraphModel(nn.Module):
             ctx = bn_config(1e-5, 0.9)    # torch BatchNorm2d defaults
         else:
             ctx = bn_config(1e-3, 0.97)   # reference initialize_weights profile
-        with ctx, fused_inference(self.fused), fused_bn_vjp(self.fused_bn and train):
+        import jax.numpy as _jnp
+        with ctx, fused_inference(self.fused), \
+                fused_bn_vjp(self.fused_bn and train,
+                             dtype=self.dtype or _jnp.float32):
             return self._walk(x, train, decode)
 
     def _walk(self, x, train: bool, decode: Optional[bool]):
