@@ -30,9 +30,12 @@ the kk factor from the matmul.
 
 The backward uses the same banded formulation (`_dcnv3_banded_bwd`): per-row
 corner values come back as H @ band matmuls and the input-gradient scatter is
-its transpose H^T @ (g·w·mask) accumulated into a VMEM slab — replacing the
-lax scatter backward that measured ~1000 ms/layer at bs16 80×80
-(tools/bench_dcn.py). Both paths share `nn.dcn.dcnv3_core_bwd` math and are
+its transpose H^T @ (g·w·mask) accumulated into a revisited VMEM output block.
+Measured (tools/bench_dcn.py, v5e bs16, table in docs/PARITY.md): forward wins
+4-6x over the lax core at EVERY zoo shape; backward wins 1.7-3x at 80x80 maps
+(lax scatter 0.9-3.3 s/layer there) but loses at <=40x40, so bwd dispatch is
+gated on `_BWD_MIN_AREA` and `impl='auto'` composes pallas-fwd + lax-bwd at
+small maps. Both paths share `nn.dcn.dcnv3_core_bwd` math and are
 parity-tested against it.
 """
 
@@ -237,9 +240,12 @@ def _dcnv3_banded_impl(x, sx, sy, m, kernel, pad, group, gc, band, center,
                 for q in range(kk):
                     a = a + jax.nn.one_hot(flat[:, q], bw,
                                            dtype=jnp.float32) * wgt[:, q:q + 1]
+        # HIGHEST: the one-hot select must not round band values to bf16
+        # (default MXU precision costs ~2e-3 relative error, measured)
         out = jax.lax.dot_general(a, band2d,
                                   dimension_numbers=(((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
+                                  preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.HIGHEST)
         out_ref[...] = out.astype(out_ref.dtype).reshape(1, 1, w, gc)
 
     grid = (b * group, h)
@@ -270,6 +276,13 @@ def _dcnv3_banded_impl(x, sx, sy, m, kernel, pad, group, gc, band, center,
 # ---------------------------------------------------------------------------
 
 
+# Measured crossover (tools/bench_dcn.py, v5e, bs16, 2026-08-19): the banded
+# backward wins 1.7-3x at 80x80 maps (lax scatter 0.9-3.0 s/layer there) but
+# LOSES ~2-4x at <=40x40, where its per-row VPU work (w·kk one-hot builds,
+# serial fori over kk) dominates while the lax scatter is already cheap.
+_BWD_MIN_AREA = 80 * 80
+
+
 def dcnv3_bwd_dispatch(x, offset, mask, g_out, kernel, stride, pad, dilation,
                        group, group_channels, offset_scale, interpret=False):
     """(dx, doffset, dmask) via the banded kernel when shapes+offsets allow,
@@ -277,6 +290,7 @@ def dcnv3_bwd_dispatch(x, offset, mask, g_out, kernel, stride, pad, dilation,
     from yolo_dual_tpu.nn.dcn import dcnv3_core_bwd
     if (stride != 1
             or not _supported(x, kernel, stride, dilation, group_channels, pad)
+            or (x.shape[1] * x.shape[2] < _BWD_MIN_AREA and not interpret)
             or jax.default_backend() not in ("tpu", "axon") and not interpret):
         return dcnv3_core_bwd(x, offset, mask, g_out, kernel, stride, pad,
                               dilation, group, group_channels, offset_scale)
@@ -326,90 +340,119 @@ def _dcnv3_banded_bwd(x, offset, mask, g_out, kernel, pad, dilation, group,
         esc = esc | jnp.any((yi >= 0) & (yi < hin)
                             & ((yi < r0v) | (yi >= r0v + band)))
 
+    # Grid (bg, h): one program per output row, mirroring the forward kernel —
+    # an earlier lax.fori_loop-over-rows formulation kept every unrolled
+    # one-hot temp live across the loop body and blew the 16 MB scoped-VMEM
+    # stack at 80×80 (61 MB allocation, measured); per-row grid programs let
+    # Mosaic reuse the stack the same way the forward does. dx accumulates
+    # directly into a REVISITED output block (index map constant in j, so the
+    # slab stays in VMEM for the whole row sweep of each batch·group program).
     def body(xg_ref, sx_ref, sy_ref, m_ref, gg_ref, dx_ref, dsx_ref, dsy_ref,
-             dm_ref, dslab):
-        dslab[...] = jnp.zeros((hin * win, gc), f32)
+             dm_ref):
+        j = pl.program_id(1)
 
-        def row(j, _):
-            r0 = jnp.clip(j + center - band // 2, 0, hin - band)
-            band2d = xg_ref[0, pl.ds(r0, band)].reshape(bw, gc)
-            sxr = sx_ref[0, pl.ds(j, 1)].reshape(w, kk)
-            syr = sy_ref[0, pl.ds(j, 1)].reshape(w, kk)
-            mr = m_ref[0, pl.ds(j, 1)].reshape(w, kk)
-            g_row = gg_ref[0, pl.ds(j, 1)].reshape(w, gc)
-            x0 = jnp.floor(sxr)
-            y0 = jnp.floor(syr)
-            wx = sxr - x0
-            wy = syr - y0
-            r0f = r0.astype(f32)
-            dsx_acc = jnp.zeros((w, kk), f32)
-            dsy_acc = jnp.zeros((w, kk), f32)
-            dm_acc = jnp.zeros((w, kk), f32)
-            dband = jnp.zeros((bw, gc), f32)
-            for q in range(kk):
-                mq = mr[:, q:q + 1]                           # (w, 1)
-                dsamp_q = g_row * mq                          # (w, gc)
-                vals = {}
-                for dy in (0, 1):
-                    for dx_ in (0, 1):
-                        yi = y0[:, q] + dy
-                        xi = x0[:, q] + dx_
-                        inb = ((xi >= 0) & (xi < win) & (yi >= 0) & (yi < hin)
-                               & (yi - r0f >= 0) & (yi - r0f < band))
-                        flat = (jnp.clip(yi - r0f, 0, band - 1).astype(jnp.int32)
-                                * win
-                                + jnp.clip(xi, 0, win - 1).astype(jnp.int32))
-                        hmat = (jax.nn.one_hot(flat, bw, dtype=f32)
-                                * inb[:, None].astype(f32))   # (w, bw)
-                        v = jax.lax.dot_general(
-                            hmat, band2d,
-                            dimension_numbers=(((1,), (0,)), ((), ())),
-                            preferred_element_type=f32)       # (w, gc)
-                        vals[(dy, dx_)] = v
-                        wgt = (jnp.where(dy == 1, wy[:, q], 1 - wy[:, q])
-                               * jnp.where(dx_ == 1, wx[:, q], 1 - wx[:, q]))
-                        # dx scatter: H^T @ (g·mask·wgt)
-                        dband = dband + jax.lax.dot_general(
-                            hmat, dsamp_q * wgt[:, None],
-                            dimension_numbers=(((0,), (0,)), ((), ())),
-                            preferred_element_type=f32)       # (bw, gc)
-                v00, v01 = vals[(0, 0)], vals[(0, 1)]
-                v10, v11 = vals[(1, 0)], vals[(1, 1)]
-                wxq = wx[:, q:q + 1]
-                wyq = wy[:, q:q + 1]
-                samp_q = (v00 * (1 - wxq) * (1 - wyq) + v01 * wxq * (1 - wyq)
-                          + v10 * (1 - wxq) * wyq + v11 * wxq * wyq)
-                dd_dwx = (1 - wyq) * (v01 - v00) + wyq * (v11 - v10)
-                dd_dwy = (1 - wxq) * (v10 - v00) + wxq * (v11 - v01)
-                dsx_acc = dsx_acc.at[:, q].set(
-                    (dsamp_q * dd_dwx).sum(-1) * offset_scale)
-                dsy_acc = dsy_acc.at[:, q].set(
-                    (dsamp_q * dd_dwy).sum(-1) * offset_scale)
-                dm_acc = dm_acc.at[:, q].set((samp_q * g_row).sum(-1))
-            dslab[pl.ds(r0 * win, bw)] += dband
-            dsx_ref[0, pl.ds(j, 1)] = dsx_acc.reshape(1, w, kk)
-            dsy_ref[0, pl.ds(j, 1)] = dsy_acc.reshape(1, w, kk)
-            dm_ref[0, pl.ds(j, 1)] = dm_acc.reshape(1, w, kk)
-            return 0
+        @pl.when(j == 0)
+        def _init():
+            dx_ref[...] = jnp.zeros((1, hin, win, gc), f32)
 
-        jax.lax.fori_loop(0, h, row, 0)
-        dx_ref[...] = dslab[...].reshape(1, hin, win, gc)
+        r0 = jnp.clip(j + center - band // 2, 0, hin - band)
+        band2d = xg_ref[0, pl.ds(r0, band)].reshape(bw, gc)
+        sxr = sx_ref[...].reshape(w, kk)
+        syr = sy_ref[...].reshape(w, kk)
+        mr = m_ref[...].reshape(w, kk)
+        g_row = gg_ref[...].reshape(w, gc)
+        x0 = jnp.floor(sxr)
+        y0 = jnp.floor(syr)
+        wx = sxr - x0
+        wy = syr - y0
+        r0f = r0.astype(f32)
+        # per (q, corner): the same (w, bw) one-hot the forward builds serves
+        # both the value gather (H @ band) and the input-grad scatter
+        # (H^T @ g·m·wgt). The q loop is a lax.fori_loop, NOT unrolled: with
+        # 36 unrolled one-hot temps Mosaic allocates them all on the kernel
+        # stack (no cross-iteration reuse) and blows the 16 MB scoped-VMEM
+        # limit at 80×80 (37.6 MB, measured); the fori body keeps one
+        # iteration's temps live. Lane-q selection is a masked reduce
+        # (iota==q), because Mosaic supports neither dynamic lane slicing nor
+        # the scatter that .at[:, q].set would lower to.
+        qiota = jax.lax.broadcasted_iota(jnp.int32, (w, kk), 1)
+
+        def qstep(q, carry):
+            dband, dsx_acc, dsy_acc, dm_acc = carry
+            qsel = (qiota == q).astype(f32)                   # (w, kk)
+
+            def lane(t):
+                return (t * qsel).sum(axis=1, keepdims=True)  # (w, 1)
+
+            x0q, y0q = lane(x0), lane(y0)
+            wxq, wyq = lane(wx), lane(wy)
+            mq = lane(mr)
+            dsamp_q = g_row * mq                              # (w, gc)
+            vals = {}
+            for dy in (0, 1):
+                for dx_ in (0, 1):
+                    yi = y0q + dy                             # (w, 1)
+                    xi = x0q + dx_
+                    ok = ((xi >= 0) & (xi < win) & (yi >= 0) & (yi < hin)
+                          & (yi - r0f >= 0) & (yi - r0f < band))
+                    flat = (jnp.clip(yi - r0f, 0, band - 1).astype(jnp.int32)
+                            * win
+                            + jnp.clip(xi, 0, win - 1).astype(jnp.int32))
+                    hmat = (jax.nn.one_hot(flat[:, 0], bw, dtype=f32)
+                            * ok.astype(f32))                 # (w, bw)
+                    v = jax.lax.dot_general(
+                        hmat, band2d,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                        precision=jax.lax.Precision.HIGHEST)  # (w, gc)
+                    vals[(dy, dx_)] = v
+                    wgt = (jnp.where(dy == 1, wyq, 1 - wyq)
+                           * jnp.where(dx_ == 1, wxq, 1 - wxq))
+                    dband = dband + jax.lax.dot_general(
+                        hmat, dsamp_q * wgt,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                        precision=jax.lax.Precision.HIGHEST)  # (bw, gc)
+            v00, v01 = vals[(0, 0)], vals[(0, 1)]
+            v10, v11 = vals[(1, 0)], vals[(1, 1)]
+            samp_q = (v00 * (1 - wxq) * (1 - wyq) + v01 * wxq * (1 - wyq)
+                      + v10 * (1 - wxq) * wyq + v11 * wxq * wyq)
+            dd_dwx = (1 - wyq) * (v01 - v00) + wyq * (v11 - v10)
+            dd_dwy = (1 - wxq) * (v10 - v00) + wxq * (v11 - v01)
+            dsx_acc = dsx_acc + ((dsamp_q * dd_dwx).sum(-1, keepdims=True)
+                                 * offset_scale) * qsel
+            dsy_acc = dsy_acc + ((dsamp_q * dd_dwy).sum(-1, keepdims=True)
+                                 * offset_scale) * qsel
+            dm_acc = dm_acc + (samp_q * g_row).sum(-1, keepdims=True) * qsel
+            return dband, dsx_acc, dsy_acc, dm_acc
+
+        zcol = jnp.zeros((w, kk), f32)
+        dband, dsx_acc, dsy_acc, dm_acc = jax.lax.fori_loop(
+            0, kk, qstep, (jnp.zeros((bw, gc), f32), zcol, zcol, zcol))
+        dsx_ref[...] = dsx_acc.reshape(1, 1, w, kk)
+        dsy_ref[...] = dsy_acc.reshape(1, 1, w, kk)
+        dm_ref[...] = dm_acc.reshape(1, 1, w, kk)
+        dx_ref[0, pl.ds(r0, band)] += dband.reshape(band, win, gc)
 
     outs = pl.pallas_call(
         body,
-        grid=(bg,),
+        grid=(bg, h),
+        # 18.8 MB of live stack at 80×80 (slab + dband + 4 unrolled corner
+        # one-hots) exceeds the 16 MB default scoped-vmem budget; v5e has
+        # 128 MB of VMEM, so raise the cap rather than shrink the band.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         in_specs=[
-            pl.BlockSpec((1, hin, win, gc), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, h, w, kk), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, h, w, kk), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, h, w, kk), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, h, w, gc), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, hin, win, gc), lambda i, j: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 1, w, kk), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, w, kk), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, w, kk), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, w, gc), lambda i, j: (i, j, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, hin, win, gc), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, h, w, kk), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, h, w, kk), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, h, w, kk), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, hin, win, gc), lambda i, j: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 1, w, kk), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, w, kk), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, w, kk), lambda i, j: (i, j, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bg, hin, win, gc), f32),
@@ -417,7 +460,6 @@ def _dcnv3_banded_bwd(x, offset, mask, g_out, kernel, pad, dilation, group,
             jax.ShapeDtypeStruct((bg, h, w, kk), f32),
             jax.ShapeDtypeStruct((bg, h, w, kk), f32),
         ],
-        scratch_shapes=[pltpu.VMEM((hin * win, gc), f32)],
         interpret=interpret,
     )(xg, sx, sy, m, gg)
     dxg, dsx_o, dsy_o, dm_o = outs
