@@ -79,11 +79,17 @@ def register_module(name: str, builder: Callable[..., Any]):
     REGISTRY[name] = builder
 
 
-def build_module(name: str, kwargs: dict, dtype=None, layer_name: str = None):
+def build_module(name: str, kwargs: dict, dtype=None, layer_name: str = None,
+                 remat: bool = False):
+    """Instantiate a registered module. ``remat=True`` wraps the class in
+    ``nn.remat`` so its internal activations are rematerialized in the
+    backward pass instead of being saved to HBM — the per-layer checkpoint
+    scheme for the HBM-bound train step (layer-boundary tensors stay, C3/Conv
+    internals are recomputed and fuse into the backward in VMEM)."""
     _populate_registry()
     if name not in REGISTRY:
         raise KeyError(f"Module {name!r} is not registered. Known: {sorted(REGISTRY)}")
-    return REGISTRY[name](dict(kwargs), dtype=dtype, name=layer_name)
+    return REGISTRY[name](dict(kwargs), dtype=dtype, name=layer_name, remat=remat)
 
 
 _POPULATED = False
@@ -99,14 +105,18 @@ def _populate_registry():
     from yolo_dual_tpu.nn import spp as S
     from yolo_dual_tpu.models import heads as H
 
+    import flax.linen as nn
+
     def simple(cls):
-        def b(kwargs, dtype=None, name=None):
-            return cls(**kwargs, dtype=dtype, name=name)
+        def b(kwargs, dtype=None, name=None, remat=False):
+            c = nn.remat(cls, static_argnums=(2,)) if remat else cls
+            return c(**kwargs, dtype=dtype, name=name)
         return b
 
     def nodtype(cls):
-        def b(kwargs, dtype=None, name=None):
-            return cls(**kwargs, name=name)
+        def b(kwargs, dtype=None, name=None, remat=False):
+            c = nn.remat(cls, static_argnums=(2,)) if remat else cls
+            return c(**kwargs, name=name)
         return b
 
     for nm, cls in {

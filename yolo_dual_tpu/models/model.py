@@ -44,6 +44,7 @@ class GraphModel(nn.Module):
     fused: bool = False  # conv+BN folded variables (see BaseModel.fuse)
     blocked_stem: bool = False  # train-path s2d stem (nn/blocked_train.py)
     fused_bn: bool = False  # custom-VJP train BatchNorm (nn/common.py FusedBatchNorm)
+    remat_layers: bool = False  # per-layer nn.remat in train (HBM-bound step: trade recompute for activation bytes)
 
     @nn.compact
     def __call__(self, x, train: bool = False, decode: Optional[bool] = None):
@@ -58,6 +59,14 @@ class GraphModel(nn.Module):
                              dtype=self.dtype or _jnp.float32):
             return self._walk(x, train, decode)
 
+    # Shape-only glue: remat would add optimization barriers for zero byte
+    # savings (these save no internal residuals).
+    _NO_REMAT = frozenset({
+        "Concat", "Upsample", "nn.Upsample", "Contract", "Expand", "Sum",
+        "MaxPool2d", "nn.MaxPool2d", "nn.ZeroPad2d", "nn.Softmax",
+        "nn.BatchNorm2d",
+    })
+
     def _walk(self, x, train: bool, decode: Optional[bool]):
         y = []
         out = x
@@ -69,11 +78,12 @@ class GraphModel(nn.Module):
                 inp = out
             else:
                 inp = y[f]
+            rm = self.remat_layers and train and layer.name not in self._NO_REMAT
             if self.blocked_stem and layer.i <= 3:
                 from yolo_dual_tpu.nn.blocked_train import build_blocked_layer
                 prev_c2 = tuple(l.c2 for l in self.spec.layers[:3])
                 mod = build_blocked_layer(layer, self.spec.ch_in, prev_c2,
-                                          self.dtype, f"model_{layer.i}")
+                                          self.dtype, f"model_{layer.i}", remat=rm)
                 out = mod(inp, train)
             elif layer.name in ("Detect", "Segment", "DetectAux"):
                 mod = build_module(layer.name, layer.kw(), self.dtype, f"model_{layer.i}")
@@ -81,10 +91,12 @@ class GraphModel(nn.Module):
             elif layer.n > 1:
                 out = inp
                 for r in range(layer.n):
-                    mod = build_module(layer.name, layer.kw(), self.dtype, f"model_{layer.i}_{r}")
+                    mod = build_module(layer.name, layer.kw(), self.dtype,
+                                       f"model_{layer.i}_{r}", remat=rm)
                     out = mod(out, train)
             else:
-                mod = build_module(layer.name, layer.kw(), self.dtype, f"model_{layer.i}")
+                mod = build_module(layer.name, layer.kw(), self.dtype,
+                                   f"model_{layer.i}", remat=rm)
                 out = mod(inp, train)
             y.append(out)
         return out
@@ -150,7 +162,8 @@ class BaseModel:
 
     def __init__(self, cfg="yolov5s.yaml", ch: int = 3, nc: Optional[int] = None,
                  anchors=None, dtype: Dtype = None, verbose: bool = False,
-                 blocked_stem: bool = False, fused_bn: bool = False):
+                 blocked_stem: bool = False, fused_bn: bool = False,
+                 remat_layers: bool = False):
         self.yaml = _load_cfg(cfg)
         self.yaml_file = Path(cfg).name if isinstance(cfg, (str, Path)) else None
         spec = parse_config(self.yaml, ch=ch, nc=nc, anchors_override=anchors, verbose=verbose)
@@ -163,7 +176,7 @@ class BaseModel:
         from yolo_dual_tpu.nn import blocked as _blocked
         self.blocked_stem = bool(blocked_stem) and _blocked.eligible(spec)
         self.module = GraphModel(spec, dtype, blocked_stem=self.blocked_stem,
-                                 fused_bn=fused_bn)
+                                 fused_bn=fused_bn, remat_layers=remat_layers)
         self.nc = spec.nc
         self.names = {i: str(i) for i in range(spec.nc)}
         self.stride = np.array(spec.strides or [32])

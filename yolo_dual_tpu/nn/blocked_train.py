@@ -265,22 +265,30 @@ class BlockedC3(nn.Module):
                              dtype=self.dtype, name="cv3")(y, train)
 
 
-def build_blocked_layer(layer, ch_in: int, prev_c2: Tuple[int, ...], dtype, name: str):
+def build_blocked_layer(layer, ch_in: int, prev_c2: Tuple[int, ...], dtype, name: str,
+                        remat: bool = False):
     """Blocked module for stem layer `layer.i` in [0, 3]. `prev_c2[i]` is the
-    native output channel count of layer i; `ch_in` the image channels."""
+    native output channel count of layer i; `ch_in` the image channels.
+    ``remat=True`` wraps the module in nn.remat (per-layer activation
+    rematerialization for the HBM-bound train step)."""
+    import flax.linen as nn
     kw = dict(layer.kwargs)
     act = kw.get("act", True)
     i = layer.i
+
+    def cls(c):
+        return nn.remat(c, static_argnums=(2,)) if remat else c
+
     if i == 0:
-        return BlockedConvBN((6, 6, ch_in, kw["c2"]), "stem", act=act,
-                             dtype=dtype, name=name)
+        return cls(BlockedConvBN)((6, 6, ch_in, kw["c2"]), "stem", act=act,
+                                  dtype=dtype, name=name)
     if i == 1:
-        return BlockedConvBN((3, 3, prev_c2[0], kw["c2"]), "down_in", act=act,
-                             dtype=dtype, name=name)
+        return cls(BlockedConvBN)((3, 3, prev_c2[0], kw["c2"]), "down_in", act=act,
+                                  dtype=dtype, name=name)
     if i == 2:
-        return BlockedC3(kw["c2"], prev_c2[1], n=int(kw.get("n", 1)), act=act,
-                         dtype=dtype, name=name)
+        return cls(BlockedC3)(kw["c2"], prev_c2[1], n=int(kw.get("n", 1)), act=act,
+                              dtype=dtype, name=name)
     if i == 3:
-        return BlockedConvBN((3, 3, prev_c2[2], kw["c2"]), "down_out", act=act,
-                             dtype=dtype, name=name)
+        return cls(BlockedConvBN)((3, 3, prev_c2[2], kw["c2"]), "down_out", act=act,
+                                  dtype=dtype, name=name)
     raise ValueError(f"layer {i} is not part of the blocked stem")
