@@ -82,6 +82,7 @@ MEASURED_SLOW = {
     "tests/test_semantic_cli.py::test_semantic_train_cli_jaccard_flavor",
     "tests/test_semantic_cli.py::test_semantic_train_cli_then_bare_resume",
     "tests/test_small_parity.py::test_parity_coco128_staged",
+    "tests/test_small_parity.py::test_parity_camvid_staged",
     "tests/test_small_parity.py::test_reshape_classifier_output",
     "tests/test_torch_parity.py::test_forward_parity_tiny_yolo[detect]",
     "tests/test_torch_parity.py::test_forward_parity_tiny_yolo[segment]",

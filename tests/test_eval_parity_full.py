@@ -81,6 +81,16 @@ def _build_models(cfg=None, nc=NC, imgsz=IMGSZ):
             b[:, 5:5 + nc] += 1.0
             b[:, 5 + nc:] += 2.0
             mi.bias.copy_(b.view(-1))
+        # Prime the proto OUTPUT too: at real depth (yolov5s-seg @640) the
+        # random-init proto branch collapses to ~1e-7 (eval-mode BN is
+        # identity at init; the deep conv stack shrinks activations), so
+        # masks are coin-flip speckle, no mask TP exists at ANY IoU, and the
+        # reference's stats[0].any() gate (segment/val.py:339) zeroes every
+        # metric — the r3 fullsize failure. +2.0 on the last proto Conv's BN
+        # beta gives protos ≈ silu(2) ≈ 1.76 everywhere; with the +2.0 coef
+        # bias the mask logit is ~+30 inside the crop → solid, reachable
+        # masks at any depth/scale.
+        det.proto.cv3.bn.bias += 2.0
     sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
     from yolo_dual_tpu.io import import_torch_state_dict
     from yolo_dual_tpu.models.model import SegmentationModel as Ours
@@ -244,11 +254,26 @@ def test_full_eval_parity_fullsize(tmp_path):
         # Same contract as the tiny test: recall exact (TP counting across
         # dataloader/letterbox/forward/NMS/mask-decode/matching must agree);
         # precision/AP to 0.05 (FP ordering wiggles under f32 conv noise).
+        print(f"fullsize overlap={overlap}: ours={our_mean} ref={ref_mean}")
         np.testing.assert_allclose(
             our_mean[[1, 5]], ref_mean[[1, 5]], atol=1e-6,
             err_msg=f"recall parity overlap={overlap}: ours={our_mean} ref={ref_mean}")
         np.testing.assert_allclose(our_mean, ref_mean, atol=0.05,
                                    err_msg=f"overlap={overlap}: ours={our_mean} ref={ref_mean}")
+        # AP columns agree tighter than the global 0.05: in this regime AP
+        # itself is small (see guard below), so 0.05 alone would be near-
+        # vacuous for them.
+        np.testing.assert_allclose(our_mean[[2, 3, 6, 7]], ref_mean[[2, 3, 6, 7]],
+                                   atol=0.02,
+                                   err_msg=f"AP parity overlap={overlap}: ours={our_mean} ref={ref_mean}")
         assert ref_mean[1] > 0.9, f"ref box recall degenerate: {ref_mean}"
         assert ref_mean[5] > 0.3, f"ref mask recall degenerate: {ref_mean}"
-        assert our_mean[2] > 0.2, f"box mAP50 too low to be meaningful: {our_mean}"
+        # mAP is STRUCTURALLY low at fullsize: with uniformly primed class
+        # biases at nc=80 and multi_label NMS, every anchor cluster emits ~80
+        # near-tie class copies whose f32-noise conf ordering interleaves FPs
+        # above TPs — precision at rank is ~1/nc even at recall 1.0, on BOTH
+        # evaluators (their agreement is checked above). The sensitivity
+        # anchors are exact recall equality + nonzero-AP agreement, not an
+        # absolute AP level (the tiny test covers the high-AP regime).
+        assert our_mean[2] > 0.02 and ref_mean[2] > 0.02, \
+            f"box mAP50 vacuously zero: ours={our_mean} ref={ref_mean}"

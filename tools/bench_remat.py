@@ -38,7 +38,7 @@ def _slope(run, n1=2, n2=30, repeats=4):
     return (t2 - t1) / (n2 - n1)
 
 
-def bench(remat: bool, bs=16, imgsz=640):
+def bench(remat, bs=16, imgsz=640):
     from yolo_dual_tpu.losses import ComputeSegmentLoss
     from yolo_dual_tpu.models.model import SegmentationModel
     from yolo_dual_tpu.train import ModelEMA, Trainer, smart_optimizer
@@ -100,10 +100,15 @@ def main():
     imgsz = int(sys.argv[1]) if len(sys.argv) > 1 else 640
     sizes = [int(a) for a in sys.argv[2:]] or [16, 32]
     print(f"device: {jax.devices()[0]}  imgsz={imgsz}  (fused_bn=True, blocked_stem=True)")
+    # 'early' = selective remat of the large-activation stem/P3 layers only
+    # (yolov5s-seg layers 0-4: 320^2..80^2 maps) — all-layers remat measured
+    # SLOWER (recompute + fusion barriers outweigh bytes), this probes
+    # whether the byte-heavy prefix alone wins.
+    modes = {"none": False, "all": True, "early": (0, 1, 2, 3, 4)}
     for bs in sizes:
-        for remat in (False, True):
+        for label, remat in modes.items():
             ms, ips = bench(remat, bs, imgsz)
-            print(f"bs={bs} remat={remat}: {ms:.2f} ms/iter = {ips:.1f} img/s")
+            print(f"bs={bs} remat={label}: {ms:.2f} ms/iter = {ips:.1f} img/s")
 
 
 if __name__ == "__main__":

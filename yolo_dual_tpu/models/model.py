@@ -44,7 +44,11 @@ class GraphModel(nn.Module):
     fused: bool = False  # conv+BN folded variables (see BaseModel.fuse)
     blocked_stem: bool = False  # train-path s2d stem (nn/blocked_train.py)
     fused_bn: bool = False  # custom-VJP train BatchNorm (nn/common.py FusedBatchNorm)
-    remat_layers: bool = False  # per-layer nn.remat in train (HBM-bound step: trade recompute for activation bytes)
+    # per-layer nn.remat in train (HBM-bound step: trade recompute for
+    # activation bytes). True = every compute layer; a tuple of layer indices
+    # = selective remat (e.g. only the large early-activation layers — the
+    # all-layers variant measured SLOWER on v5e, tools/bench_remat.py).
+    remat_layers: Any = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, decode: Optional[bool] = None):
@@ -78,7 +82,10 @@ class GraphModel(nn.Module):
                 inp = out
             else:
                 inp = y[f]
-            rm = self.remat_layers and train and layer.name not in self._NO_REMAT
+            rl = self.remat_layers
+            rm = (train and layer.name not in self._NO_REMAT
+                  and (rl is True
+                       or (not isinstance(rl, bool) and layer.i in rl)))
             if self.blocked_stem and layer.i <= 3:
                 from yolo_dual_tpu.nn.blocked_train import build_blocked_layer
                 prev_c2 = tuple(l.c2 for l in self.spec.layers[:3])
@@ -163,7 +170,7 @@ class BaseModel:
     def __init__(self, cfg="yolov5s.yaml", ch: int = 3, nc: Optional[int] = None,
                  anchors=None, dtype: Dtype = None, verbose: bool = False,
                  blocked_stem: bool = False, fused_bn: bool = False,
-                 remat_layers: bool = False):
+                 remat_layers: Any = False):
         self.yaml = _load_cfg(cfg)
         self.yaml_file = Path(cfg).name if isinstance(cfg, (str, Path)) else None
         spec = parse_config(self.yaml, ch=ch, nc=nc, anchors_override=anchors, verbose=verbose)
