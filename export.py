@@ -39,6 +39,21 @@ def export_formats():
 
 def load_model(weights, cfg, nc, imgsz):
     sys.path.insert(0, str(ROOT / "segment"))
+    from val import find_cfg
+    path = find_cfg(cfg, "segment", "models", "semantic")
+    import yaml
+    d = yaml.safe_load(Path(path).read_text())
+    if d.get("anchors") is None:
+        # semantic-dialect config (no anchor head): route through the factory
+        # so `export.py --cfg resnet50.yaml --include onnx` ships the
+        # semantic flagship too (io/onnx_export.py semantic ops, r4)
+        from yolo_dual_tpu.models.model import build_model
+        model = build_model(path)  # semantic configs carry their own nc
+        variables = model.init(imgsz=imgsz)
+        if weights:
+            from yolo_dual_tpu.io.weights import resolve_variables
+            variables = resolve_variables(model, weights, variables)
+        return model, variables
     from val import load_model_and_weights
     return load_model_and_weights(weights, cfg, nc, imgsz)
 

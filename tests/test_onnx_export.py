@@ -87,3 +87,51 @@ def test_multibackend_onnx(tmp_path):
     np.testing.assert_allclose(pred, pred_ref, atol=2e-3, rtol=1e-3)
     np.testing.assert_allclose(protos.transpose(0, 3, 1, 2), protos_ref,
                                atol=1e-3, rtol=1e-3)
+
+
+def test_onnx_semantic_roundtrip_cv2dnn(tmp_path):
+    """Semantic-dialect export (r4): a tiny graph covering EVERY new op —
+    ResNetStem, bottleneck+basic ResNetLayer, VGGBlock, C3Conv (incl. the
+    n=0 split+merge degenerate), aligning Concat (bilinear resize), Upsample,
+    nn.Softmax — round-tripped through cv2.dnn against the flax forward.
+    The same dialect drives the full resnet50/vgg16 semantic flagship yamls
+    (reference unet-lite/Resnet50/resnet50.yaml:44 ends with nn.Softmax)."""
+    import jax.numpy as jnp
+
+    from yolo_dual_tpu.io.onnx_export import export_onnx
+    from yolo_dual_tpu.models.model import SemanticSegModel
+
+    cfg = dict(
+        nc=5, compiler="semantic", activation="relu",
+        backbone=[
+            [-1, 1, "ResNetStem", [8]],                 # 0: /4
+            [-1, 1, "ResNet50Layer", [16, 2, 1]],       # 1: /4 bottleneck x2
+            [-1, 1, "ResNet18Layer", [24, 2, 2]],       # 2: /8 basic x2
+            [-1, 1, "VGGBlock", [24, 2, True]],         # 3: /16
+        ],
+        head=[
+            [-1, 1, "Conv", [16, 1, 1]],                # 4
+            [-1, 1, "Upsample", [None, 2, "nearest"]],  # 5: /8
+            [2, 1, "Conv", [16, 1, 1]],                 # 6: /8
+            [[-1, -2], 1, "Concat", [1]],               # 7
+            [-1, 3, "C3", [16, False]],                 # 8: C3Conv n=0
+            [-1, 1, "C3", [16, 2, True]],               # 9: C3Conv n=2
+            [[1, -1], 1, "Concat", [1]],                # 10: ALIGN /8 -> /4
+            [-1, 1, "Conv", [5, 1, 1]],                 # 11
+            [-1, 1, "nn.Softmax", [1]],                 # 12
+        ],
+    )
+    model = SemanticSegModel(cfg, nc=5)
+    variables = model.init(imgsz=IMGSZ)
+    out = export_onnx(model, variables, IMGSZ, tmp_path / "sem.onnx")
+
+    net = cv2.dnn.readNetFromONNX(str(out))
+    rng = np.random.default_rng(2)
+    x = rng.uniform(0, 1, (1, 3, IMGSZ, IMGSZ)).astype(np.float32)
+    net.setInput(x, "images")
+    got = net.forward("seg")
+
+    ref = np.asarray(model.module.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                                        train=False)).transpose(0, 3, 1, 2)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-3, rtol=1e-3)

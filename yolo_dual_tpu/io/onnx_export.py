@@ -255,9 +255,82 @@ class _Exporter:
         sf = float(kw.get("scale_factor") or 2)
         scales = self.g.tensor(np.array([1.0, 1.0, sf, sf], np.float32), "scales")
         roi = self.g.tensor(np.zeros((0,), np.float32), "roi")
+        mode = str(kw.get("mode") or "nearest")
+        if mode in ("bilinear", "linear"):
+            # half-pixel centers == jax.image.resize bilinear == torch
+            # align_corners=False (nn/common.py resize_bilinear)
+            return self.g.node("Resize", [x, roi, scales], mode="linear",
+                               coordinate_transformation_mode="half_pixel")
         return self.g.node("Resize", [x, roi, scales], mode="nearest",
                            coordinate_transformation_mode="asymmetric",
                            nearest_mode="floor")
+
+    def resize_to_c(self, x: str, src_hw: tuple, dst_hw: tuple) -> str:
+        """Bilinear half-pixel resize src_hw -> dst_hw — the semantic Concat's
+        align step (nn/common.py Concat align=True). Scales form (not sizes):
+        cv2.dnn's ONNX importer handles the 3-input Resize reliably; output
+        size floor(in*scale) is exact for the clean ratios the zoo produces."""
+        sf = (dst_hw[0] / src_hw[0], dst_hw[1] / src_hw[1])
+        scales = self.g.tensor(np.array([1.0, 1.0, sf[0], sf[1]], np.float32),
+                               "scales")
+        roi = self.g.tensor(np.zeros((0,), np.float32), "roi")
+        return self.g.node("Resize", [x, roi, scales], mode="linear",
+                           coordinate_transformation_mode="half_pixel")
+
+    def maxpool(self, x: str, k: int, s: int, p: int) -> str:
+        return self.g.node("MaxPool", [x], kernel_shape=[k, k], strides=[s, s],
+                           pads=[p, p, p, p])
+
+    # -- semantic-zoo emitters (nn/backbones.py + C3Conv) --------------------
+    def resnet_stem(self, x: str, p: dict, kw: dict) -> str:
+        y = self.conv(x, p["conv"], dict(c2=kw["c2"], k=7, s=2, p=3,
+                                         act=kw.get("act", "relu")))
+        return self.maxpool(y, 3, 2, 1)
+
+    def _resnet_block(self, x: str, p: dict, c2: int, stride: int, act,
+                      block: str) -> str:
+        if block == "bottleneck":
+            mid = c2 // 4
+            y = self.conv(x, p["conv1"], dict(c2=mid, k=1, p=0, act=act))
+            y = self.conv(y, p["conv2"], dict(c2=mid, k=3, s=stride, p=1, act=act))
+            y = self.conv(y, p["conv3"], dict(c2=c2, k=1, p=0, act=False))
+        else:
+            y = self.conv(x, p["conv1"], dict(c2=c2, k=3, s=stride, p=1, act=act))
+            y = self.conv(y, p["conv2"], dict(c2=c2, k=3, p=1, act=False))
+        if "downsample" in p:
+            x = self.conv(x, p["downsample"], dict(c2=c2, k=1, s=stride, p=0,
+                                                   act=False))
+        return self.act(self.g.node("Add", [x, y]), act)
+
+    def resnet_layer(self, x: str, p: dict, kw: dict) -> str:
+        act = kw.get("act", "relu")
+        c2, n = kw["c2"], kw.get("n", 1)
+        block = kw.get("block", "bottleneck")
+        x = self._resnet_block(x, p["block0"], c2, kw.get("stride", 1), act, block)
+        for i in range(1, n):
+            x = self._resnet_block(x, p[f"block{i}"], c2, 1, act, block)
+        return x
+
+    def vgg_block(self, x: str, p: dict, kw: dict) -> str:
+        act = kw.get("act", "relu")
+        for i in range(kw.get("n", 2)):
+            x = self.conv(x, p[f"conv{i}"], dict(c2=kw["c2"], k=3, p=1, act=act))
+        if kw.get("pool", True):
+            x = self.maxpool(x, 2, 2, 0)
+        return x
+
+    def c3conv(self, x: str, p: dict, kw: dict) -> str:
+        """C3 skeleton with plain-conv inners (nn/common.py C3Conv — the
+        semantic scripts' file-local C3; n may be 0 = split+merge only)."""
+        c2, n = kw["c2"], kw.get("n", 1)
+        act = kw.get("act", "relu")
+        c_ = int(c2 * kw.get("e", 0.5))
+        y1 = self.conv(x, p["cv1"], dict(c2=c_, k=1, act=act))
+        for i in range(n):
+            y1 = self.conv(y1, p[f"m_{i}"], dict(c2=c_, k=3, p=1, act=act))
+        y2 = self.conv(x, p["cv2"], dict(c2=c_, k=1, act=act))
+        cat = self.g.node("Concat", [y1, y2], axis=1)
+        return self.conv(cat, p["cv3"], dict(c2=c2, k=1, act=act))
 
     def proto(self, x: str, p: dict, kw: dict) -> str:
         y = self.conv(x, p["cv1"], dict(c2=kw.get("npr", 256), k=3))
@@ -321,7 +394,10 @@ class _Exporter:
 
 
 SUPPORTED = {"Conv", "C3", "SPPF", "nn.Upsample", "Concat", "Detect", "Segment",
-             "Bottleneck"}
+             "Bottleneck",
+             # semantic zoo (nn/backbones.py dialect)
+             "C3Conv", "ResNetStem", "ResNetLayer", "VGGBlock", "Upsample",
+             "nn.Softmax"}
 
 
 def export_onnx(model, variables, imgsz: int, out_path) -> Path:
@@ -349,14 +425,18 @@ def export_onnx(model, variables, imgsz: int, out_path) -> Path:
     outputs = {}
     for layer in spec.layers:
         f = layer.f
+        def _abs(j):
+            # other negative indices (e.g. -2) are relative like the flax
+            # walk's list indexing (model.py _walk y[j])
+            return j if j >= 0 else layer.i + j
         if isinstance(f, tuple):
-            inp = [x if j == -1 else y_names[j] for j in f]
-            inp_hw = [cur_hw if j == -1 else sizes[j] for j in f]
-            inp_c = [cur_c if j == -1 else chans[j] for j in f]
+            inp = [x if j == -1 else y_names[_abs(j)] for j in f]
+            inp_hw = [cur_hw if j == -1 else sizes[_abs(j)] for j in f]
+            inp_c = [cur_c if j == -1 else chans[_abs(j)] for j in f]
         else:
-            inp = x if f == -1 else y_names[f]
-            inp_hw = cur_hw if f == -1 else sizes[f]
-            inp_c = cur_c if f == -1 else chans[f]
+            inp = x if f == -1 else y_names[_abs(f)]
+            inp_hw = cur_hw if f == -1 else sizes[_abs(f)]
+            inp_c = cur_c if f == -1 else chans[_abs(f)]
         p = params.get(f"model_{layer.i}", {})
         kw = layer.kw()
         if layer.name == "Conv":
@@ -373,14 +453,40 @@ def export_onnx(model, variables, imgsz: int, out_path) -> Path:
         elif layer.name == "SPPF":
             x = ex.sppf(inp, p, kw, inp_c)
             cur_hw, cur_c = inp_hw, kw["c2"]
-        elif layer.name == "nn.Upsample":
+        elif layer.name in ("nn.Upsample", "Upsample"):
             x = ex.upsample(inp, kw)
             sf = int(kw.get("scale_factor") or 2)
             cur_hw = (inp_hw[0] * sf, inp_hw[1] * sf)
             cur_c = inp_c
         elif layer.name == "Concat":
+            if kw.get("align"):
+                # semantic auto-aligning Concat: bilinear-resize every input
+                # to the FIRST input's spatial size (nn/common.py Concat)
+                inp = [t if hw == inp_hw[0] else ex.resize_to_c(t, hw, inp_hw[0])
+                       for t, hw in zip(inp, inp_hw)]
+                inp_hw = [inp_hw[0]] * len(inp)
             x = g.node("Concat", inp, axis=1)
             cur_hw, cur_c = inp_hw[0], sum(inp_c)
+        elif layer.name == "C3Conv":
+            x = ex.c3conv(inp, p, kw)
+            cur_hw, cur_c = inp_hw, kw["c2"]
+        elif layer.name == "ResNetStem":
+            x = ex.resnet_stem(inp, p, kw)
+            cur_hw = (inp_hw[0] // 4, inp_hw[1] // 4)
+            cur_c = kw["c2"]
+        elif layer.name == "ResNetLayer":
+            x = ex.resnet_layer(inp, p, kw)
+            s = kw.get("stride", 1)
+            cur_hw = (inp_hw[0] // s, inp_hw[1] // s)
+            cur_c = kw["c2"]
+        elif layer.name == "VGGBlock":
+            x = ex.vgg_block(inp, p, kw)
+            s = 2 if kw.get("pool", True) else 1
+            cur_hw = (inp_hw[0] // s, inp_hw[1] // s)
+            cur_c = kw["c2"]
+        elif layer.name == "nn.Softmax":
+            x = g.node("Softmax", [inp], axis=int(kw.get("dim", 1)))
+            cur_hw, cur_c = inp_hw, inp_c
         elif layer.name in ("Detect", "Segment"):
             kw2 = dict(kw)
             if layer.name == "Segment":
@@ -401,6 +507,13 @@ def export_onnx(model, variables, imgsz: int, out_path) -> Path:
         y_names.append(x)
         sizes[layer.i] = cur_hw
         chans[layer.i] = cur_c
+
+    if not outputs:
+        # semantic graph (no Detect/Segment head): per-pixel class scores,
+        # NCHW — the reference semantic scripts' model output (softmax probs
+        # when the config ends with nn.Softmax, logits otherwise)
+        x = g.node("Identity", [x], out="seg")
+        outputs["seg"] = (1, cur_c, cur_hw[0], cur_hw[1])
 
     blob = g.serialize({"images": (1, 3, imgsz, imgsz)}, outputs)
     out_path = Path(out_path)
