@@ -352,10 +352,17 @@ def parse_opt(argv=None):
                         "(nn/common.py FusedBatchNorm; measured +14%% train "
                         "throughput on v5e, tools/bench_fused_bn.py: 32.2 -> "
                         "28.2 ms/iter bs16@640)")
-    p.add_argument("--device-aug", action="store_true",
+    p.add_argument("--device-aug", dest="device_aug", action="store_true",
+                   default=True,
                    help="run mosaic composite + warp + HSV + flips on the TPU "
-                        "(host does decode + label geometry only); needs "
-                        "mosaic=1.0 and no mixup/copy_paste in the hyp")
+                        "(host does decode + label geometry only). DEFAULT ON "
+                        "since r4: measured 97.3 vs 60.4 img/s/core host-side "
+                        "with the RAM cache (tools/bench_loader.py) — the "
+                        "north-star 'never input-bound' lever. Auto-falls back "
+                        "to the host pipeline when the hyp needs mixup/"
+                        "copy_paste or mosaic<1 (data/dataset.py:141-148)")
+    p.add_argument("--no-device-aug", dest="device_aug", action="store_false",
+                   help="force the host-side mosaic/warp/HSV pipeline")
     args = p.parse_args(argv)
     # record which flags the user actually typed: on --resume, flags NOT
     # explicitly passed are restored from the run's opt.yaml (see train())

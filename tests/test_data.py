@@ -290,3 +290,23 @@ def test_device_aug_fallback_on_unsupported_hyp(yolo_ds_dir):
                      hyp=dict(mosaic=0.5), task="segment", device_aug=True)
     assert not ds.device_aug
     assert "image" in ds[0]
+
+
+def test_numpy_box_converts_match_jnp(rng):
+    """The host loader's pure-numpy box converts (data/augment.py, r4: the
+    loader must never dispatch device ops per image) are bit-compatible with
+    the jnp originals in ops/boxes.py."""
+    import numpy as np
+
+    from yolo_dual_tpu.data.augment import xywhn2xyxy_np, xyxy2xywhn_np
+    from yolo_dual_tpu.ops.boxes import xywhn2xyxy, xyxy2xywhn
+
+    x = rng.uniform(0.05, 0.95, (17, 5)).astype(np.float32)
+    a = xywhn2xyxy_np(x[:, 1:], 613, 401, 3.5, -2.25)
+    b = np.asarray(xywhn2xyxy(x[:, 1:], 613, 401, 3.5, -2.25))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+    boxes = rng.uniform(-20, 660, (23, 4)).astype(np.float32)
+    a = xyxy2xywhn_np(boxes, w=640, h=480, clip=True, eps=1e-3)
+    b = np.asarray(xyxy2xywhn(boxes, w=640, h=480, clip=True, eps=1e-3))
+    np.testing.assert_allclose(a, b, atol=1e-6)

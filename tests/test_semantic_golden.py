@@ -23,18 +23,28 @@ cv2 = pytest.importorskip("cv2")
 ROOT = Path(__file__).parents[1]
 sys.path.insert(0, str(ROOT / "semantic"))
 
-# recorded on the CPU test mesh (see tools/record_semantic_goldens.py output
-# pasted below); assert >= golden - slack
+# RECORDED on the CPU test mesh, 2026-08-21 full run of
+# tools/record_semantic_goldens.py (VERDICT r3 next-#2c: values measured, not
+# assumed); assert >= golden - slack.
+#
+# The two tiers are real, not noise: resnet18/34 use this framework's shared
+# SegmentHead (logits out) and learn fast; the other five FAITHFULLY mirror
+# the reference yamls' trailing nn.Softmax (reference
+# unet-lite/Resnet50/resnet50.yaml:44), whose probabilities then feed a loss
+# that applies log-softmax AGAIN (reference seg_diceloss_Resnet50.py:755-770
+# CrossEntropyLoss on softmax output) — the reference's own double-softmax
+# quirk squashes gradients, so those configs converge far slower at equal
+# steps. Regression floors reflect each config's actual 60-epoch trajectory.
 GOLDENS = {
-    "resnet18.yaml": 0.90,
-    "resnet34.yaml": 0.90,
-    "resnet50.yaml": 0.90,
-    "vgg16.yaml": 0.90,
-    "yolov5_seg.yaml": 0.90,
-    "yolov8_seg.yaml": 0.90,
-    "yolov9_seg.yaml": 0.90,
+    "resnet18.yaml": 0.9464,
+    "resnet34.yaml": 0.9457,
+    "resnet50.yaml": 0.1754,
+    "vgg16.yaml": 0.2127,
+    "yolov5_seg.yaml": 0.1099,
+    "yolov8_seg.yaml": 0.2129,
+    "yolov9_seg.yaml": 0.2250,
 }
-SLACK = 0.10
+SLACK = 0.05
 
 
 def make_camvid_scene(root: Path, n: int = 24, size: int = 96):

@@ -34,6 +34,14 @@ import numpy as np
 ROOT = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(ROOT))
 
+# Host-only measurement: pin jax to CPU the way tests/conftest.py does — the
+# env var alone is overridden by boxes whose sitecustomize force-registers an
+# accelerator plugin (r4 finding: one stray jnp op per image wedged this
+# bench on the single-client TPU relay).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 TRAIN_DEMAND = 544.0   # img/s, docs/ROADMAP.md bs16@640 train step
 INFER_DEMAND = 2288.0  # img/s, batched inference
 
@@ -70,7 +78,9 @@ def drain(loader, epochs: int = 1):
     t0 = time.perf_counter()
     for _ in range(epochs):
         for batch in loader:
-            n += batch["image"].shape[0]
+            # device_aug batches ship raw tiles + geometry instead of a
+            # composed image (segment/train.py 'aug_tiles' contract)
+            n += batch["image" if "image" in batch else "aug_tiles"].shape[0]
     return n / (time.perf_counter() - t0)
 
 
@@ -95,6 +105,15 @@ def main():
         next(iter(loader))  # warm the label cache
         out["train_host_img_s"] = drain(loader)
 
+        # 1b. steady-state with the RAM image cache (reference --cache ram):
+        #     epoch 2+ never re-decodes jpegs — the multi-epoch training rate
+        loader_c, _ = create_dataloader(str(img_dir), args.imgsz, args.bs, hyp=HYP,
+                                        augment=True, mask_downsample_ratio=4,
+                                        overlap_mask=True, task="segment",
+                                        shuffle=True, cache_images="ram")
+        drain(loader_c)  # epoch 1 fills the cache
+        out["train_host_img_s_ram_cache"] = drain(loader_c)
+
         # 2. train pipeline, device_aug split (host: decode+geometry;
         #    device: composite+warp+HSV) — host side only here; the device
         #    cost is measured in tools/bench_device_aug.py
@@ -105,6 +124,13 @@ def main():
                                            shuffle=True, device_aug=True)
             next(iter(loader2))
             out["train_host_img_s_device_aug"] = drain(loader2)
+            loader2c, _ = create_dataloader(str(img_dir), args.imgsz, args.bs, hyp=HYP,
+                                            augment=True, mask_downsample_ratio=4,
+                                            overlap_mask=True, task="segment",
+                                            shuffle=True, device_aug=True,
+                                            cache_images="ram")
+            drain(loader2c)
+            out["train_host_img_s_device_aug_ram_cache"] = drain(loader2c)
 
         # 3. val pipeline (host letterbox, no augment)
         vloader, _ = create_dataloader(str(img_dir), args.imgsz, args.bs,
@@ -129,6 +155,9 @@ def main():
     out["train_feed_ratio_1core"] = round(out["train_host_img_s"] / TRAIN_DEMAND, 3)
     out["val_feed_ratio_1core"] = round(out["val_host_img_s"] / INFER_DEMAND, 3)
     out["cores_to_feed_train"] = int(np.ceil(TRAIN_DEMAND / out["train_host_img_s"]))
+    best = max(out.get("train_host_img_s_device_aug_ram_cache", 0.0),
+               out["train_host_img_s_ram_cache"])
+    out["cores_to_feed_train_best"] = int(np.ceil(TRAIN_DEMAND / max(best, 1e-9)))
     out["cores_to_feed_val"] = int(np.ceil(INFER_DEMAND / out["val_host_img_s"]))
     print(json.dumps({k: (round(v, 2) if isinstance(v, float) else v)
                       for k, v in out.items()}, indent=2))

@@ -68,6 +68,44 @@ def xyn2xy(seg: np.ndarray, w: float, h: float, padw: float = 0, padh: float = 0
     return out
 
 
+def xywhn2xyxy_np(x: np.ndarray, w: float = 640, h: float = 640,
+                  padw: float = 0, padh: float = 0) -> np.ndarray:
+    """Pure-numpy twin of ops/boxes.xywhn2xyxy for the HOST loader hot path.
+
+    The jnp version costs a device dispatch PER IMAGE inside the dataloader
+    worker — ruinous through a remote-TPU tunnel if the consumer process ever
+    forgets to pin jax to CPU (r4 finding: bench_loader wedged exactly this
+    way), and measurable dispatch overhead even pinned. Same math as
+    reference utils/general.py:775."""
+    y = np.empty_like(x)
+    y[..., 0] = x[..., 0] * w - x[..., 2] * w / 2 + padw
+    y[..., 1] = x[..., 1] * h - x[..., 3] * h / 2 + padh
+    y[..., 2] = x[..., 0] * w + x[..., 2] * w / 2 + padw
+    y[..., 3] = x[..., 1] * h + x[..., 3] * h / 2 + padh
+    if x.shape[-1] > 4:
+        y[..., 4:] = x[..., 4:]
+    return y
+
+
+def xyxy2xywhn_np(x: np.ndarray, w: float = 640, h: float = 640,
+                  clip: bool = False, eps: float = 0.0) -> np.ndarray:
+    """Pure-numpy twin of ops/boxes.xyxy2xywhn (see xywhn2xyxy_np)."""
+    if clip:
+        x = x.copy()
+        x[..., 0] = x[..., 0].clip(0, w - eps)
+        x[..., 1] = x[..., 1].clip(0, h - eps)
+        x[..., 2] = x[..., 2].clip(0, w - eps)
+        x[..., 3] = x[..., 3].clip(0, h - eps)
+    y = np.empty_like(x)
+    y[..., 0] = (x[..., 0] + x[..., 2]) / 2 / w
+    y[..., 1] = (x[..., 1] + x[..., 3]) / 2 / h
+    y[..., 2] = (x[..., 2] - x[..., 0]) / w
+    y[..., 3] = (x[..., 3] - x[..., 1]) / h
+    if x.shape[-1] > 4:
+        y[..., 4:] = x[..., 4:]
+    return y
+
+
 def segment2box(segment: np.ndarray, width: float, height: float):
     x, y = segment[:, 0], segment[:, 1]
     inside = (x >= 0) & (y >= 0) & (x <= width) & (y <= height)

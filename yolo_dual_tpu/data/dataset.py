@@ -39,8 +39,9 @@ from yolo_dual_tpu.data.augment import (
     polygons2masks_overlap,
     random_perspective,
     xyn2xy,
+    xywhn2xyxy_np,
+    xyxy2xywhn_np,
 )
-from yolo_dual_tpu.ops.boxes import xywhn2xyxy, xyxy2xywhn
 from yolo_dual_tpu.utils.general import LOGGER
 
 IMG_FORMATS = ("bmp", "dng", "jpeg", "jpg", "mpo", "png", "tif", "tiff", "webp", "pfm")
@@ -331,7 +332,7 @@ class YoloDataset:
             labels = self.labels[idx].copy()
             segments = [se.copy() for se in self.segments[idx]]
             if labels.size:
-                labels[:, 1:] = np.asarray(xywhn2xyxy(labels[:, 1:], w, h, padw, padh))
+                labels[:, 1:] = (xywhn2xyxy_np(labels[:, 1:], w, h, padw, padh))
                 segments = [xyn2xy(se, w, h, padw, padh) for se in segments]
             labels4.append(labels)
             segments4.extend(segments)
@@ -396,7 +397,7 @@ class YoloDataset:
             labels = self.labels[index].copy()
             segments = [se.copy() for se in self.segments[index]]
             if labels.size:
-                labels[:, 1:] = np.asarray(xywhn2xyxy(labels[:, 1:], r * w0, r * h0,
+                labels[:, 1:] = (xywhn2xyxy_np(labels[:, 1:], r * w0, r * h0,
                                                       left, top))
                 segments = [xyn2xy(se, r * w0, r * h0, left, top) for se in segments]
         else:
@@ -409,7 +410,7 @@ class YoloDataset:
             labels = self.labels[index].copy()
             segments = [se.copy() for se in self.segments[index]]
             if labels.size:
-                labels[:, 1:] = np.asarray(xywhn2xyxy(labels[:, 1:], ratio[0] * w, ratio[1] * h,
+                labels[:, 1:] = (xywhn2xyxy_np(labels[:, 1:], ratio[0] * w, ratio[1] * h,
                                                       pad[0], pad[1]))
                 segments = [xyn2xy(se, ratio[0] * w, ratio[1] * h, pad[0], pad[1])
                             for se in segments]
@@ -436,7 +437,7 @@ class YoloDataset:
                 masks = np.zeros((h // self.mask_ratio, w // self.mask_ratio), np.uint8)
 
         if nl:
-            labels[:, 1:5] = np.asarray(xyxy2xywhn(labels[:, 1:5], w=w, h=h, clip=True, eps=1e-3))
+            labels[:, 1:5] = (xyxy2xywhn_np(labels[:, 1:5], w=w, h=h, clip=True, eps=1e-3))
 
         hsv_gains = np.ones(3, np.float32)
         flips = np.zeros(2, bool)
