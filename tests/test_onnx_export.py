@@ -131,7 +131,44 @@ def test_onnx_semantic_roundtrip_cv2dnn(tmp_path):
     net.setInput(x, "images")
     got = net.forward("seg")
 
-    ref = np.asarray(model.module.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
-                                        train=False)).transpose(0, 3, 1, 2)
+    # model.apply = the public contract: scores at INPUT resolution (the
+    # export appends the same half-pixel resize when the graph is coarser)
+    ref = np.asarray(model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                                 train=False)).transpose(0, 3, 1, 2)
     assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-3, rtol=1e-3)
+
+
+def test_onnx_semantic_segmenthead_roundtrip(tmp_path):
+    """resnet18-style SegmentHead graph (multi-scale laterals + align-corners
+    upsampling, nn/backbones.py SegmentHead) exports and matches the flax
+    forward through cv2.dnn — covers the OTHER semantic head family
+    (resnet18/34 configs) at full output resolution."""
+    import jax.numpy as jnp
+
+    from yolo_dual_tpu.io.onnx_export import export_onnx
+    from yolo_dual_tpu.models.model import SemanticSegModel
+
+    cfg = dict(
+        nc=4, compiler="semantic", activation="relu",
+        backbone=[
+            [-1, 1, "ResNetStem", [8]],
+            [-1, 1, "ResNet18Layer", [8, 1, 1]],
+            [-1, 1, "ResNet18Layer", [16, 1, 2]],
+            [-1, 1, "ResNet18Layer", [24, 1, 2]],
+        ],
+        head=[[[1, 2, 3], 1, "SegmentHead", [4, 8]]],
+    )
+    model = SemanticSegModel(cfg, nc=4)
+    variables = model.init(imgsz=IMGSZ)
+    out = export_onnx(model, variables, IMGSZ, tmp_path / "sh.onnx")
+
+    net = cv2.dnn.readNetFromONNX(str(out))
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 1, (1, 3, IMGSZ, IMGSZ)).astype(np.float32)
+    net.setInput(x, "images")
+    got = net.forward("seg")
+    ref = np.asarray(model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                                 train=False)).transpose(0, 3, 1, 2)
+    assert got.shape == ref.shape == (1, 4, IMGSZ, IMGSZ)
     np.testing.assert_allclose(got, ref, atol=2e-3, rtol=1e-3)

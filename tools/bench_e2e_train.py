@@ -62,7 +62,6 @@ def device_step_runner(bs, imgsz):
     tx = smart_optimizer(variables["params"], "SGD", hyp, epochs=1, steps_per_epoch=100)
     tr = Trainer(model, loss, tx, ema=ModelEMA(), task="segment")
     state0 = tr.init_state(variables)
-    step = tr.make_train_step(donate=False)
 
     rng = np.random.default_rng(0)
     M = 32
@@ -76,14 +75,30 @@ def device_step_runner(bs, imgsz):
              "targets": jnp.asarray(targets), "tmask": jnp.asarray(tmask),
              "masks": jnp.asarray(rng.integers(0, 7, (bs, imgsz // 4, imgsz // 4)).astype(np.float32))}
 
+    def one_step(state, i):
+        # inline step math (bench.py bench_train / bench_remat structure —
+        # a nested jitted make_train_step inside the fori body compiles
+        # pathologically slowly on this box's 1-core client)
+        b = dict(batch)
+        b["image"] = batch["image"] + i.astype(jnp.float32) * 1e-6
+
+        def loss_fn(params):
+            return tr._forward_loss(params, state.batch_stats, b)
+
+        (lv, (items, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        import optax
+        updates, opt_state = tr.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = tr.ema.update(state.ema, {"params": params, "batch_stats": new_bs})
+        return state.replace(params=params, batch_stats=new_bs, opt_state=opt_state,
+                             ema=ema, step=state.step + 1), lv
+
     @jax.jit
     def loop(state, iters):
         def body(i, carry):
             st, acc = carry
-            b = dict(batch)
-            b["image"] = batch["image"] + i.astype(jnp.float32) * 1e-6
-            st, metrics = step(st, b)
-            return st, acc + metrics["loss"]
+            st, lv = one_step(st, i)
+            return st, acc + lv
         return jax.lax.fori_loop(0, iters, body, (state, jnp.zeros(())))[1]
 
     def run(n):

@@ -319,6 +319,34 @@ class _Exporter:
             x = self.maxpool(x, 2, 2, 0)
         return x
 
+    def resize_ac(self, x: str, src_hw: tuple, dst_hw: tuple) -> str:
+        """align_corners=True bilinear (nn/backbones.py resize_bilinear_ac —
+        SegmentHead's lateral upsampling; torch F.interpolate align_corners)."""
+        sf = (dst_hw[0] / src_hw[0], dst_hw[1] / src_hw[1])
+        scales = self.g.tensor(np.array([1.0, 1.0, sf[0], sf[1]], np.float32),
+                               "scales")
+        roi = self.g.tensor(np.zeros((0,), np.float32), "roi")
+        return self.g.node("Resize", [x, roi, scales], mode="linear",
+                           coordinate_transformation_mode="align_corners")
+
+    def segment_head(self, xs: List[str], p: dict, kw: dict,
+                     sizes: List[tuple]) -> str:
+        """Shared U-Net-style semantic head (nn/backbones.py SegmentHead:
+        lateral 1x1 convs -> align-corners upsample to the finest scale ->
+        concat -> 3x3 -> 1x1 logits)."""
+        act = kw.get("act", "relu")
+        width = kw.get("width", 128)
+        target = sizes[0]
+        outs = []
+        for i, (x, hw) in enumerate(zip(xs, sizes)):
+            f = self.conv(x, p[f"lateral{i}"], dict(c2=width, k=1, act=act))
+            if hw != target:
+                f = self.resize_ac(f, hw, target)
+            outs.append(f)
+        y = self.g.node("Concat", outs, axis=1)
+        y = self.conv(y, p["final0"], dict(c2=2 * width, k=3, p=1, act=act))
+        return self.conv(y, p["final1"], dict(c2=kw["nc"], k=1, act=False))
+
     def c3conv(self, x: str, p: dict, kw: dict) -> str:
         """C3 skeleton with plain-conv inners (nn/common.py C3Conv — the
         semantic scripts' file-local C3; n may be 0 = split+merge only)."""
@@ -397,7 +425,7 @@ SUPPORTED = {"Conv", "C3", "SPPF", "nn.Upsample", "Concat", "Detect", "Segment",
              "Bottleneck",
              # semantic zoo (nn/backbones.py dialect)
              "C3Conv", "ResNetStem", "ResNetLayer", "VGGBlock", "Upsample",
-             "nn.Softmax"}
+             "nn.Softmax", "SegmentHead"}
 
 
 def export_onnx(model, variables, imgsz: int, out_path) -> Path:
@@ -487,6 +515,9 @@ def export_onnx(model, variables, imgsz: int, out_path) -> Path:
         elif layer.name == "nn.Softmax":
             x = g.node("Softmax", [inp], axis=int(kw.get("dim", 1)))
             cur_hw, cur_c = inp_hw, inp_c
+        elif layer.name == "SegmentHead":
+            x = ex.segment_head(inp, p, kw, inp_hw)
+            cur_hw, cur_c = inp_hw[0], kw["nc"]
         elif layer.name in ("Detect", "Segment"):
             kw2 = dict(kw)
             if layer.name == "Segment":
@@ -511,7 +542,13 @@ def export_onnx(model, variables, imgsz: int, out_path) -> Path:
     if not outputs:
         # semantic graph (no Detect/Segment head): per-pixel class scores,
         # NCHW — the reference semantic scripts' model output (softmax probs
-        # when the config ends with nn.Softmax, logits otherwise)
+        # when the config ends with nn.Softmax, logits otherwise). Match the
+        # SemanticSegModel.apply contract: scores at INPUT resolution
+        # (model.py fix() bilinear half-pixel resize when the graph's output
+        # is coarser, e.g. SegmentHead's /4).
+        if cur_hw != (imgsz, imgsz):
+            x = ex.resize_to_c(x, cur_hw, (imgsz, imgsz))
+            cur_hw = (imgsz, imgsz)
         x = g.node("Identity", [x], out="seg")
         outputs["seg"] = (1, cur_c, cur_hw[0], cur_hw[1])
 
