@@ -209,6 +209,12 @@ def bench_semantic_inference(bs=32, imgsz=640, n1=2, n2=60):
 
 
 def _run():
+    if jax.default_backend() == "cpu" and not os.environ.get("BENCH_ALLOW_CPU"):
+        # Silent CPU fallback (relay held by a dying process) would publish
+        # garbage numbers after hours of Eigen execution — fail fast instead;
+        # main()'s retry loop gets a chance to reconnect.
+        raise RuntimeError("TPU backend unavailable (default_backend=cpu); "
+                           "set BENCH_ALLOW_CPU=1 to force CPU.")
     if FAST:
         return bench_inference(bs=8, imgsz=320, n1=2, n2=5), 0.0, 0.0, 0.0
     infer_ips = bench_inference()

@@ -43,8 +43,17 @@ from bench_loader import HYP, make_dataset  # noqa: E402
 def device_step_runner(bs, imgsz):
     """Returns (run_fn, state) where run_fn(n) executes n train steps in ONE
     dispatch (bench.py bench_train's loop)."""
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    if jax.default_backend() == "cpu" and not os.environ.get("BENCH_ALLOW_CPU"):
+        # jax falls back to CPU SILENTLY when the single-client TPU relay is
+        # held (r4: a dying predecessor held it; this bench then burned 50
+        # CPU-minutes executing the 640px train loop on Eigen). Fail fast.
+        raise SystemExit("TPU backend unavailable (default_backend=cpu); "
+                         "relay busy? Set BENCH_ALLOW_CPU=1 to force.")
 
     from yolo_dual_tpu.losses import ComputeSegmentLoss
     from yolo_dual_tpu.models.model import SegmentationModel
@@ -113,7 +122,7 @@ def host_rate_during(loader, stop_event):
     t0 = time.perf_counter()
     while not stop_event.is_set():
         for b in loader:
-            n += b["image"].shape[0]
+            n += b["image" if "image" in b else "aug_tiles"].shape[0]
             if stop_event.is_set():
                 break
     return n / max(time.perf_counter() - t0, 1e-9)
@@ -140,11 +149,15 @@ def main():
     with tempfile.TemporaryDirectory() as td:
         img_dir = make_dataset(Path(td), args.n)
         for label, dev_aug in (("host_all", False), ("device_aug", True)):
+            # RAM image cache + one full warm epoch: the steady-state
+            # (epoch 2+) producer rate is the one that feeds a real run
             loader, _ = create_dataloader(str(img_dir), args.imgsz, args.bs, hyp=HYP,
                                           augment=True, mask_downsample_ratio=4,
                                           overlap_mask=True, task="segment",
-                                          shuffle=True, device_aug=dev_aug)
-            next(iter(loader))  # warm label cache
+                                          shuffle=True, device_aug=dev_aug,
+                                          cache_images="ram")
+            for _b in loader:  # warm label + image caches (epoch 1)
+                pass
             stop = threading.Event()
             res = {}
             th = threading.Thread(

@@ -34,14 +34,6 @@ import numpy as np
 ROOT = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(ROOT))
 
-# Host-only measurement: pin jax to CPU the way tests/conftest.py does — the
-# env var alone is overridden by boxes whose sitecustomize force-registers an
-# accelerator plugin (r4 finding: one stray jnp op per image wedged this
-# bench on the single-client TPU relay).
-import jax  # noqa: E402
-
-jax.config.update("jax_platforms", "cpu")
-
 TRAIN_DEMAND = 544.0   # img/s, docs/ROADMAP.md bs16@640 train step
 INFER_DEMAND = 2288.0  # img/s, batched inference
 
@@ -85,6 +77,14 @@ def drain(loader, epochs: int = 1):
 
 
 def main():
+    # Host-only measurement: pin jax to CPU the way tests/conftest.py does —
+    # the env var alone is overridden by boxes whose sitecustomize
+    # force-registers an accelerator plugin (r4 finding: one stray jnp op per
+    # image wedged this bench on the single-client TPU relay). Inside main(),
+    # NOT at module level: tools that import make_dataset/HYP from here
+    # (bench_e2e_train) must keep their TPU backend.
+    import jax
+    jax.config.update("jax_platforms", "cpu")
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=96)
     ap.add_argument("--imgsz", type=int, default=640)
