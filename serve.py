@@ -33,25 +33,44 @@ def build_server(opt):
     import jax.numpy as jnp
 
     sys.path.insert(0, str(ROOT / "segment"))
+    import yaml
     from val import find_cfg, load_model_and_weights
     from yolo_dual_tpu.data.augment import letterbox
     from yolo_dual_tpu.ops import scale_boxes
     from yolo_dual_tpu.ops.nms import nms_from_raw
 
-    model, variables = load_model_and_weights(opt.weights, opt.cfg, opt.nc, opt.imgsz)
-    model, variables = model.fuse(variables)  # conv+BN folding for serving
-    head_kw = model.spec.layers[-1].kw()
-    nm = head_kw.get("nm", 32)
-    anchors, strides = head_kw["anchors"], head_kw["strides"]
+    cfg_path = find_cfg(opt.cfg, "segment", "models", "semantic")
+    semantic = yaml.safe_load(Path(cfg_path).read_text()).get("anchors") is None
+    if semantic:
+        # semantic dialect: serve per-pixel class maps (the reference has no
+        # semantic serving path at all — this framework serves both dialects)
+        from yolo_dual_tpu.io.weights import resolve_variables
+        from yolo_dual_tpu.models.model import build_model
+        model = build_model(cfg_path)
+        variables = model.init(imgsz=opt.imgsz)
+        if opt.weights:
+            variables = resolve_variables(model, opt.weights, variables)
+        model, variables = model.fuse(variables)
 
-    @jax.jit
-    def infer(v, x):
-        # fused decode+NMS from raw head maps — the serving hot path
-        levels, protos = model.module.apply(v, x.astype(jnp.float32) / 255.0,
-                                            train=False, decode=False)
-        out, nv = nms_from_raw(levels, anchors, strides, conf_thres=opt.conf_thres,
-                               iou_thres=opt.iou_thres, max_det=opt.max_det, nm=nm)
-        return out, nv
+        @jax.jit
+        def infer(v, x):
+            scores = model.apply(v, x.astype(jnp.float32) / 255.0, train=False)
+            return scores.argmax(-1).astype(jnp.uint8)
+    else:
+        model, variables = load_model_and_weights(opt.weights, opt.cfg, opt.nc, opt.imgsz)
+        model, variables = model.fuse(variables)  # conv+BN folding for serving
+        head_kw = model.spec.layers[-1].kw()
+        nm = head_kw.get("nm", 32)
+        anchors, strides = head_kw["anchors"], head_kw["strides"]
+
+        @jax.jit
+        def infer(v, x):
+            # fused decode+NMS from raw head maps — the serving hot path
+            levels, protos = model.module.apply(v, x.astype(jnp.float32) / 255.0,
+                                                train=False, decode=False)
+            out, nv = nms_from_raw(levels, anchors, strides, conf_thres=opt.conf_thres,
+                                   iou_thres=opt.iou_thres, max_det=opt.max_det, nm=nm)
+            return out, nv
 
     # warmup so first request is fast
     infer(variables, jnp.zeros((1, opt.imgsz, opt.imgsz, 3), jnp.uint8))
@@ -74,7 +93,32 @@ def build_server(opt):
                 self.send_error(400, "not an image")
                 return
             im0_shape = img.shape
-            im, _, _ = letterbox(cv2.cvtColor(img, cv2.COLOR_BGR2RGB), opt.imgsz, auto=False)
+            im, ratio, pad = letterbox(cv2.cvtColor(img, cv2.COLOR_BGR2RGB),
+                                       opt.imgsz, auto=False)
+            if semantic:
+                # per-pixel class map, un-letterboxed to the original size
+                # (nearest keeps class ids crisp), PNG+base64 in the JSON
+                import base64
+                cmap = np.asarray(infer(variables, jnp.asarray(im[None])))[0]
+                h0, w0 = im0_shape[:2]
+                top, left = int(round(pad[1])), int(round(pad[0]))
+                bh, bw = opt.imgsz - 2 * top, opt.imgsz - 2 * left
+                crop = cmap[top:top + bh, left:left + bw]
+                full = cv2.resize(crop, (w0, h0), interpolation=cv2.INTER_NEAREST)
+                ids, counts = np.unique(full, return_counts=True)
+                ok, png = cv2.imencode(".png", full)
+                body = json.dumps({
+                    "shape": [int(h0), int(w0)],
+                    "class_pixels": {int(i): int(c) for i, c in zip(ids, counts)},
+                    "mask_png_b64": base64.b64encode(png.tobytes()).decode()
+                    if ok else None,
+                }).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             out, nv = infer(variables, jnp.asarray(im[None]))
             k = int(np.asarray(nv)[0])
             dets = np.asarray(out)[0, :k]

@@ -93,6 +93,7 @@ MEASURED_SLOW = {
     "tests/test_predictor.py::test_predict_device_preprocess_matches_host",
     "tests/test_predictor.py::test_video_in_annotated_video_out",
     "tests/test_remote.py::test_remote_model_roundtrip",
+    "tests/test_remote.py::test_remote_semantic_classmap",
     "tests/test_semantic_cli.py::test_semantic_train_cli_jaccard_flavor",
     "tests/test_semantic_cli.py::test_semantic_train_cli_then_bare_resume",
     "tests/test_small_parity.py::test_parity_coco128_staged",

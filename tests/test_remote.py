@@ -46,3 +46,44 @@ def test_remote_model_roundtrip(tmp_path):
             RemoteModel(f"http://127.0.0.1:1", timeout=0.5)
     finally:
         server.shutdown()
+
+
+def test_remote_semantic_classmap(tmp_path):
+    """serve.py semantic dialect (r4): POST an image, get the per-pixel class
+    map back (PNG+b64) at the ORIGINAL resolution — the reference has no
+    semantic serving path at all."""
+    import base64
+    import json
+    import urllib.request
+
+    import yaml
+
+    import serve
+
+    cfg = tmp_path / "sem_tiny.yaml"
+    cfg.write_text(yaml.safe_dump(dict(
+        nc=5, compiler="semantic", activation="relu",
+        backbone=[[-1, 1, "ResNetStem", [8]],
+                  [-1, 1, "ResNet18Layer", [16, 1, 2]]],
+        head=[[-1, 1, "Conv", [5, 1, 1]], [-1, 1, "nn.Softmax", [1]]])))
+    opt = serve.parse_opt(["--cfg", str(cfg), "--imgsz", "64", "--port", "0"])
+    server = serve.build_server(opt)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        img = np.random.default_rng(1).integers(0, 255, (48, 80, 3), dtype=np.uint8)
+        ok, buf = cv2.imencode(".jpg", img)
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/predict",
+                                     data=buf.tobytes(), method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        assert out["shape"] == [48, 80]
+        total = sum(out["class_pixels"].values())
+        assert total == 48 * 80
+        png = base64.b64decode(out["mask_png_b64"])
+        mask = cv2.imdecode(np.frombuffer(png, np.uint8), cv2.IMREAD_UNCHANGED)
+        assert mask.shape == (48, 80)
+        assert mask.max() < 5
+    finally:
+        server.shutdown()
