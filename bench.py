@@ -37,6 +37,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent XLA compile cache: the 640px train/infer loop executables take
+# 10-40 min to build through this box's tunnel; with the cache a re-run
+# (driver round-end, lever A/B sessions) deserializes them in seconds.
+# Verified working against the axon PJRT backend (r4).
+jax.config.update("jax_compilation_cache_dir", str(ROOT / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
 A100_BASELINE_IMG_S = 714.0        # inference denominator, see module docstring
 A100_TRAIN_BASELINE_IMG_S = 112.0  # train denominator, see module docstring
 FAST = os.environ.get("BENCH_FAST", "0") == "1"
