@@ -48,7 +48,9 @@ def load_model(weights, cfg, nc, imgsz):
         # so `export.py --cfg resnet50.yaml --include onnx` ships the
         # semantic flagship too (io/onnx_export.py semantic ops, r4)
         from yolo_dual_tpu.models.model import build_model
-        model = build_model(path)  # semantic configs carry their own nc
+        # --nc overrides the config's class count here exactly like the
+        # detect branch; None/unset keeps the config's own nc
+        model = build_model(path, nc=nc)
         variables = model.init(imgsz=imgsz)
         if weights:
             from yolo_dual_tpu.io.weights import resolve_variables
@@ -123,7 +125,7 @@ def export_tflite(saved_model_dir: Path, out: Path, int8: bool = False,
     return out
 
 
-def run(weights="", cfg="yolov5s-seg.yaml", nc=80, imgsz=640,
+def run(weights="", cfg="yolov5s-seg.yaml", nc=None, imgsz=640,
         include=("torchpt",), out_dir="runs/export", fuse=False, int8=False):
     model, variables = load_model(weights, cfg, nc, imgsz)
     out_dir = Path(out_dir)
@@ -155,7 +157,8 @@ def parse_opt(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--weights", type=str, default="")
     p.add_argument("--cfg", type=str, default="yolov5s-seg.yaml")
-    p.add_argument("--nc", type=int, default=80)
+    p.add_argument("--nc", type=int, default=None,
+                   help="class-count override; default: the config's own nc")
     p.add_argument("--imgsz", type=int, default=640)
     p.add_argument("--include", nargs="+", default=["torchpt"],
                    choices=["torchpt", "savedmodel", "tflite", "onnx"])

@@ -133,8 +133,8 @@ def train(opt):
         variables = partial_load(variables, opt.weights)
 
     train_loader, dataset = create_json_segment_dataloader(
-        opt.img_dir, opt.json_dir, opt.imgsz, opt.batch_size, augment=True,
-        num_classes=opt.nc, seed=opt.seed)
+        opt.img_dir, opt.json_dir, opt.imgsz, opt.batch_size,
+        augment=opt.augment, num_classes=opt.nc, seed=opt.seed)
     val_loader, _ = create_json_segment_dataloader(
         opt.val_img_dir or opt.img_dir, opt.val_json_dir or opt.json_dir, opt.imgsz,
         opt.batch_size, augment=False, num_classes=opt.nc, drop_last=False)
@@ -161,8 +161,9 @@ def train(opt):
     if opt.data_parallel and jax.device_count() > 1:
         from yolo_dual_tpu.parallel import make_mesh
         mesh = make_mesh()
-    trainer = Trainer(model, loss_fn, tx, ema=ModelEMA(decay=hyp.get("ema_decay", 0.9999),
-                                   tau=hyp.get("ema_tau", 2000.0)), task="semantic", mesh=mesh,
+    ema = (ModelEMA(decay=hyp.get("ema_decay", 0.9999), tau=hyp.get("ema_tau", 2000.0))
+           if opt.ema else None)
+    trainer = Trainer(model, loss_fn, tx, ema=ema, task="semantic", mesh=mesh,
                       accumulate=accumulate)
     state = trainer.init_state(variables)
     start_epoch = 0
@@ -292,6 +293,11 @@ def parse_opt(argv=None):
     p.add_argument("--data-parallel", action="store_true")
     p.add_argument("--no-fused-bn", dest="fused_bn", action="store_false",
                    help="disable the custom-VJP train BatchNorm")
+    p.add_argument("--no-augment", dest="augment", action="store_false",
+                   help="disable train-time PIL augmentation (reference "
+                        "create_json_segment_dataloader augment flag)")
+    p.add_argument("--no-ema", dest="ema", action="store_false",
+                   help="train and evaluate raw weights (no EMA shadow)")
     p.add_argument("--device", default="", help="parity flag")
     p.add_argument("--workers", type=int, default=0, help="parity flag")
     args = p.parse_args(argv)

@@ -40,13 +40,19 @@ def build_server(opt):
     from yolo_dual_tpu.ops.nms import nms_from_raw
 
     cfg_path = find_cfg(opt.cfg, "segment", "models", "semantic")
-    semantic = yaml.safe_load(Path(cfg_path).read_text()).get("anchors") is None
+    cfg_dict = yaml.safe_load(Path(cfg_path).read_text())
+    semantic = cfg_dict.get("anchors") is None
     if semantic:
         # semantic dialect: serve per-pixel class maps (the reference has no
         # semantic serving path at all — this framework serves both dialects)
         from yolo_dual_tpu.io.weights import resolve_variables
         from yolo_dual_tpu.models.model import build_model
-        model = build_model(cfg_path)
+        nc = opt.nc if opt.nc is not None else int(cfg_dict.get("nc", 12))
+        if nc > 256:
+            # the served class map is a uint8 PNG; ids above 255 would wrap
+            raise SystemExit(f"semantic serving supports nc<=256 (got {nc}): "
+                             "the class-map response is a uint8 PNG")
+        model = build_model(cfg_path, nc=opt.nc)
         variables = model.init(imgsz=opt.imgsz)
         if opt.weights:
             variables = resolve_variables(model, opt.weights, variables)
@@ -57,7 +63,9 @@ def build_server(opt):
             scores = model.apply(v, x.astype(jnp.float32) / 255.0, train=False)
             return scores.argmax(-1).astype(jnp.uint8)
     else:
-        model, variables = load_model_and_weights(opt.weights, opt.cfg, opt.nc, opt.imgsz)
+        model, variables = load_model_and_weights(opt.weights, opt.cfg,
+                                                  opt.nc if opt.nc is not None else 80,
+                                                  opt.imgsz)
         model, variables = model.fuse(variables)  # conv+BN folding for serving
         head_kw = model.spec.layers[-1].kw()
         nm = head_kw.get("nm", 32)
@@ -101,8 +109,12 @@ def build_server(opt):
                 import base64
                 cmap = np.asarray(infer(variables, jnp.asarray(im[None])))[0]
                 h0, w0 = im0_shape[:2]
-                top, left = int(round(pad[1])), int(round(pad[0]))
-                bh, bw = opt.imgsz - 2 * top, opt.imgsz - 2 * left
+                # content box exactly as letterbox laid it out: new_unpad from
+                # the returned ratio, top/left with the same -0.1 rounding
+                # (odd padding splits asymmetrically; deriving from imgsz-2*top
+                # shifts the crop by 1px when dh is a half-integer)
+                bw, bh = int(round(w0 * ratio[0])), int(round(h0 * ratio[1]))
+                top, left = int(round(pad[1] - 0.1)), int(round(pad[0] - 0.1))
                 crop = cmap[top:top + bh, left:left + bw]
                 full = cv2.resize(crop, (w0, h0), interpolation=cv2.INTER_NEAREST)
                 ids, counts = np.unique(full, return_counts=True)
@@ -157,7 +169,8 @@ def parse_opt(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--weights", default="")
     p.add_argument("--cfg", default="yolov5s-seg.yaml")
-    p.add_argument("--nc", type=int, default=80)
+    p.add_argument("--nc", type=int, default=None,
+                   help="class-count override; default: the config's own nc")
     p.add_argument("--imgsz", type=int, default=640)
     p.add_argument("--conf-thres", type=float, default=0.25)
     p.add_argument("--iou-thres", type=float, default=0.45)

@@ -48,31 +48,11 @@ SLACK = 0.05
 
 
 def make_camvid_scene(root: Path, n: int = 24, size: int = 96):
-    img_dir = root / "imgs"
-    json_dir = root / "jsons"
-    img_dir.mkdir(parents=True)
-    json_dir.mkdir(parents=True)
-    rng = np.random.default_rng(11)
-    names = ["sky", "building", "pole", "road", "pavement", "tree", "signsymbol",
-             "fence", "car", "pedestrian", "bicyclist", "unlabelled"]
-    for i in range(n):
-        horizon = rng.integers(size // 3, size // 2)
-        img = np.zeros((size, size, 3), np.uint8)
-        mask = np.full((size, size), 3, np.uint8)          # road
-        img[:horizon] = (90, 140, 230)                      # sky: blue-ish
-        mask[:horizon] = 0
-        img[horizon:] = (95, 95, 95)                        # road: gray
-        x, y = rng.integers(8, size - 40), rng.integers(horizon + 2, size - 24)
-        w, h = rng.integers(18, 32), rng.integers(10, 18)
-        img[y:y + h, x:x + w] = (200, 40, 40)               # car: red
-        mask[y:y + h, x:x + w] = 8
-        img = np.clip(img.astype(np.int16) + rng.integers(-18, 18, img.shape), 0, 255
-                      ).astype(np.uint8)
-        cv2.imwrite(str(img_dir / f"{i:03d}.png"), img[..., ::-1])
-        payload = {"filename": f"{i:03d}.png", "shape": [size, size], "dtype": "uint8",
-                   "class_names": names, "mask_data": mask.flatten().astype(int).tolist()}
-        (json_dir / f"{i:03d}.json").write_text(json.dumps(payload))
-    return img_dir, json_dir
+    """Canonical scene lives in yolo_dual_tpu.data.tools so the live-reference
+    dynamics head-to-head (tools/parity_semantic_dynamics.py) certifies the
+    floors below on the SAME data."""
+    from yolo_dual_tpu.data.tools import write_synthetic_camvid_scene
+    return write_synthetic_camvid_scene(root, n, size)
 
 
 @pytest.fixture(scope="module")

@@ -121,10 +121,14 @@ def host_rate_during(loader, stop_event):
     n = 0
     t0 = time.perf_counter()
     while not stop_event.is_set():
+        got = 0
         for b in loader:
+            got += 1
             n += b["image" if "image" in b else "aug_tiles"].shape[0]
             if stop_event.is_set():
                 break
+        if not got:  # empty loader: don't spin until the device run ends
+            raise RuntimeError("loader yielded zero batches")
     return n / max(time.perf_counter() - t0, 1e-9)
 
 
@@ -160,8 +164,14 @@ def main():
                 pass
             stop = threading.Event()
             res = {}
-            th = threading.Thread(
-                target=lambda: res.update(r=host_rate_during(loader, stop)))
+
+            def _drain():
+                try:
+                    res["r"] = host_rate_during(loader, stop)
+                except BaseException as e:  # surfaced after join, with context
+                    res["err"] = e
+
+            th = threading.Thread(target=_drain)
             th.start()
             # device runs concurrently with the host producer (steady-state
             # overlap); min 2 windows so the host thread sees a full cycle
@@ -169,6 +179,8 @@ def main():
             run(args.iters)
             stop.set()
             th.join()
+            if "err" in res:
+                raise RuntimeError(f"host drain thread failed ({label})") from res["err"]
             host_ips = res["r"]
             out[f"host_img_s_concurrent[{label}]"] = round(host_ips, 1)
             out[f"cores_to_feed[{label}]"] = int(np.ceil(dev_ips / max(host_ips, 1e-9)))

@@ -103,3 +103,57 @@ def dataset_stats(path, imgsz: int = 640, task: str = "detect") -> dict:
     }
     LOGGER.info(json.dumps(stats, indent=2))
     return stats
+
+
+# ---------------------------------------------------------------------------
+# Synthetic CamVid-style scene (shared by tests/test_semantic_golden.py and
+# tools/parity_semantic_dynamics.py so the golden floors and the live
+# reference head-to-head certify the SAME data).
+
+CAMVID_NAMES = ["sky", "building", "pole", "road", "pavement", "tree",
+                "signsymbol", "fence", "car", "pedestrian", "bicyclist",
+                "unlabelled"]
+
+
+def synthetic_camvid_arrays(n: int = 24, size: int = 96, seed: int = 11):
+    """Deterministic 3-class CamVid-style scenes: sky band / road band / car
+    rectangle (CamVid ids 0/3/8), color-coded + noise so a learnable
+    color->class mapping exists. Returns (imgs RGB uint8 (n,s,s,3),
+    masks uint8 (n,s,s))."""
+    rng = np.random.default_rng(seed)
+    imgs = np.zeros((n, size, size, 3), np.uint8)
+    masks = np.zeros((n, size, size), np.uint8)
+    for i in range(n):
+        horizon = rng.integers(size // 3, size // 2)
+        img = np.zeros((size, size, 3), np.uint8)
+        mask = np.full((size, size), 3, np.uint8)          # road
+        img[:horizon] = (90, 140, 230)                      # sky: blue-ish
+        mask[:horizon] = 0
+        img[horizon:] = (95, 95, 95)                        # road: gray
+        x, y = rng.integers(8, size - 40), rng.integers(horizon + 2, size - 24)
+        w, h = rng.integers(18, 32), rng.integers(10, 18)
+        img[y:y + h, x:x + w] = (200, 40, 40)               # car: red
+        mask[y:y + h, x:x + w] = 8
+        img = np.clip(img.astype(np.int16) + rng.integers(-18, 18, img.shape),
+                      0, 255).astype(np.uint8)
+        imgs[i], masks[i] = img, mask
+    return imgs, masks
+
+
+def write_synthetic_camvid_scene(root, n: int = 24, size: int = 96, seed: int = 11):
+    """Write the synthetic scene as PNG images + per-image JSON dense masks
+    (the reference's JSON mask format, seg_diceloss_Resnet50.py:271-351).
+    Returns (img_dir, json_dir)."""
+    import cv2
+    root = Path(root)
+    img_dir, json_dir = root / "imgs", root / "jsons"
+    img_dir.mkdir(parents=True)
+    json_dir.mkdir(parents=True)
+    imgs, masks = synthetic_camvid_arrays(n, size, seed)
+    for i in range(n):
+        cv2.imwrite(str(img_dir / f"{i:03d}.png"), imgs[i][..., ::-1])
+        payload = {"filename": f"{i:03d}.png", "shape": [size, size],
+                   "dtype": "uint8", "class_names": CAMVID_NAMES,
+                   "mask_data": masks[i].flatten().astype(int).tolist()}
+        (json_dir / f"{i:03d}.json").write_text(json.dumps(payload))
+    return img_dir, json_dir
