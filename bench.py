@@ -154,7 +154,7 @@ def bench_train(bs=16, imgsz=640, n1=2, n2=50):
 
 
 def bench_semantic_train(bs=16, imgsz=640, n1=2, n2=30):
-    """The reference's VERIFIED flagship path: ResNet50 + SegmentHead semantic
+    """The reference's VERIFIED flagship path: ResNet50 + U-Net/softmax-decoder semantic
     training with Dice loss (reference unet-lite/Resnet50/seg_diceloss_Resnet50.py
     hot loop) — fwd+loss+bwd+SGD+EMA in one compiled step, CamVid regime
     (nc=12, 640px)."""
@@ -265,12 +265,16 @@ def main():
         "vs_baseline": round(infer_ips / A100_BASELINE_IMG_S, 3),
         "train_images_per_sec": round(train_ips, 2),
         "train_vs_baseline": round(train_ips / A100_TRAIN_BASELINE_IMG_S, 3),
-        # Semantic flagship (resnet50+SegmentHead, dice, nc=12 @640): the
-        # reference publishes NO A100 img/s for this path, so raw img/s only —
-        # the honest cross-chip bracket is the equal-MFU peak ratio v5e/A100
-        # = 197/312 = 0.63x (BASELINE.md "A100 stand-in denominators").
+        # Semantic flagship (resnet50.yaml U-Net/softmax decoder, dice, nc=12
+        # @640): neither the reference nor any upstream publishes an A100
+        # img/s for this path, so vs_baseline is DELIBERATELY null — raw
+        # img/s only; the honest cross-chip bracket is the equal-MFU peak
+        # ratio v5e/A100 = 197/312 = 0.63x (BASELINE.md "Semantic-path
+        # denominator" section).
         "semantic_train_images_per_sec": round(sem_train_ips, 2),
+        "semantic_train_vs_baseline": None,
         "semantic_infer_images_per_sec": round(sem_infer_ips, 2),
+        "semantic_infer_vs_baseline": None,
         "device": str(jax.devices()[0]),
     }))
 
