@@ -134,7 +134,14 @@ def train(opt):
 
     train_loader, dataset = create_json_segment_dataloader(
         opt.img_dir, opt.json_dir, opt.imgsz, opt.batch_size,
-        augment=opt.augment, num_classes=opt.nc, seed=opt.seed)
+        augment=opt.augment, num_classes=opt.nc, seed=opt.seed,
+        device_preprocess=opt.device_preprocess)
+    if opt.device_preprocess:
+        # host ships raw frames; resize-pad(+hflip/brightness/contrast) run on
+        # device (kernels/preprocess.py semantic_preprocess) — the segment
+        # --device-aug treatment for the semantic task
+        from yolo_dual_tpu.kernels import semantic_preprocess as _sem_pre
+        _pre_interp = jax.default_backend() not in ("tpu", "axon")
     val_loader, _ = create_json_segment_dataloader(
         opt.val_img_dir or opt.img_dir, opt.val_json_dir or opt.json_dir, opt.imgsz,
         opt.batch_size, augment=False, num_classes=opt.nc, drop_last=False)
@@ -210,7 +217,19 @@ def train(opt):
         train_loader.set_epoch(epoch)
         mloss = np.zeros(3)
         for i, batch in enumerate(train_loader):
-            b = {"image": jnp.asarray(batch["image"]), "mask": jnp.asarray(batch["mask"])}
+            if opt.device_preprocess:
+                im, mk = _sem_pre(jnp.asarray(batch["image_raw"]),
+                                  jnp.asarray(batch["mask_raw"]),
+                                  out_size=opt.imgsz, interpret=_pre_interp,
+                                  flip=jnp.asarray(batch["flip"]),
+                                  bright=jnp.asarray(batch["bright"]),
+                                  contr=jnp.asarray(batch["contr"]))
+                # panels want host uint8 copies at the training resolution
+                batch = {"image": (np.asarray(im) * 255).astype(np.uint8),
+                         "mask": np.asarray(mk)}
+                b = {"image": im, "mask": mk}
+            else:
+                b = {"image": jnp.asarray(batch["image"]), "mask": jnp.asarray(batch["mask"])}
             if mesh is not None:
                 from yolo_dual_tpu.parallel import shard_batch
                 b = shard_batch(b, mesh)
@@ -298,6 +317,9 @@ def parse_opt(argv=None):
                         "create_json_segment_dataloader augment flag)")
     p.add_argument("--no-ema", dest="ema", action="store_false",
                    help="train and evaluate raw weights (no EMA shadow)")
+    p.add_argument("--device-preprocess", action="store_true",
+                   help="host ships raw frames; resize-pad(+hflip/brightness/"
+                        "contrast) run on device (kernels semantic_preprocess)")
     p.add_argument("--device", default="", help="parity flag")
     p.add_argument("--workers", type=int, default=0, help="parity flag")
     args = p.parse_args(argv)

@@ -319,3 +319,60 @@ def test_dcnv3_banded_bwd_matches_lax_bwd(rng):
     for a, r, name in zip(ours_w, ref_w, ("dx", "doffset", "dmask")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=1e-4,
                                    atol=1e-4, err_msg=name)
+
+
+def test_semantic_preprocess_kernel(rng, tmp_path):
+    """Device semantic input path (kernels semantic_preprocess) vs the host
+    resize_and_pad (reference seg_diceloss_Resnet50.py:332-351 semantics):
+    image close (bilinear formulations differ), mask pad geometry EXACT,
+    class ids preserved, and the JSONSegmentDataset device mode round-trips."""
+    from yolo_dual_tpu.data.json_dataset import resize_and_pad
+    from yolo_dual_tpu.kernels.preprocess import semantic_preprocess
+    h, w, s = 48, 64, 64
+    imgs = rng.integers(0, 255, (2, h, w, 3), dtype=np.uint8)
+    masks = rng.integers(0, 12, (2, h, w)).astype(np.uint8)
+    im_d, mk_d = semantic_preprocess(jnp.asarray(imgs), jnp.asarray(masks),
+                                     out_size=s, interpret=True)
+    im_d, mk_d = np.asarray(im_d), np.asarray(mk_d)
+    assert im_d.shape == (2, s, s, 3) and mk_d.shape == (2, s, s)
+    for b in range(2):
+        im_h, mk_h, _ = resize_and_pad(imgs[b], masks[b], s)
+        diff = np.abs(im_h.astype(np.float32) / 255.0 - im_d[b])
+        assert np.percentile(diff, 99) < 0.03, np.percentile(diff, 99)
+        # identical pad geometry: class-0 fill rows exactly where the host puts them
+        assert (mk_d[b][:8] == 0).all() and (mk_d[b][-8:] == 0).all()
+        # 48->64 is an UPSCALE (w already == s): nearest rows must be a subset
+        # of the original class ids, content region identical to host nearest
+        np.testing.assert_array_equal(np.unique(mk_d[b][8:-8]), np.unique(mk_h[8:-8]))
+        assert (mk_d[b][8:-8] == mk_h[8:-8]).mean() > 0.95  # rounding ties only
+    # per-sample flip applies to image AND mask coherently
+    fl = jnp.asarray([True, False])
+    im_f, mk_f = semantic_preprocess(jnp.asarray(imgs), jnp.asarray(masks),
+                                     out_size=s, interpret=True, flip=fl)
+    np.testing.assert_array_equal(np.asarray(mk_f)[0], mk_d[0][:, ::-1])
+    np.testing.assert_array_equal(np.asarray(mk_f)[1], mk_d[1])
+    np.testing.assert_allclose(np.asarray(im_f)[0], im_d[0][:, ::-1], atol=1e-6)
+
+    # dataset device mode ships raw frames + host-drawn aug params
+    import cv2
+    import json as _json
+    (tmp_path / "imgs").mkdir(); (tmp_path / "jsons").mkdir()
+    for i in range(2):
+        cv2.imwrite(str(tmp_path / "imgs" / f"{i}.png"), imgs[i][..., ::-1])
+        (tmp_path / "jsons" / f"{i}.json").write_text(_json.dumps({
+            "filename": f"{i}.png", "shape": [h, w], "dtype": "uint8",
+            "class_names": [], "mask_data": masks[i].flatten().astype(int).tolist()}))
+    from yolo_dual_tpu.data import create_json_segment_dataloader
+    loader, _ = create_json_segment_dataloader(
+        str(tmp_path / "imgs"), str(tmp_path / "jsons"), s, 2, augment=True,
+        device_preprocess=True)
+    batch = next(iter(loader))
+    assert batch["image_raw"].shape == (2, h, w, 3)
+    im2, mk2 = semantic_preprocess(jnp.asarray(batch["image_raw"]),
+                                   jnp.asarray(batch["mask_raw"]), out_size=s,
+                                   interpret=True, flip=jnp.asarray(batch["flip"]),
+                                   bright=jnp.asarray(batch["bright"]),
+                                   contr=jnp.asarray(batch["contr"]))
+    assert np.asarray(im2).shape == (2, s, s, 3)
+    assert np.asarray(im2).min() >= 0.0 and np.asarray(im2).max() <= 1.0
+    assert set(np.unique(np.asarray(mk2))) <= set(range(12)) | {0}

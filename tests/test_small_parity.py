@@ -4,6 +4,7 @@ reshaping (reference utils/torch_utils.py reshape_classifier_output), and
 plot_evolve (reference utils/plots.py:476-500)."""
 
 import numpy as np
+import pytest
 
 from yolo_dual_tpu.data.dataset import quad_collate
 from yolo_dual_tpu.data.loader import Loader
@@ -215,3 +216,92 @@ def test_parity_camvid_staged(tmp_path):
     text = out_md.read_text()
     assert "CamVid real-data semantic parity" in text
     assert f"{ours:.4f}" in text
+
+
+@pytest.mark.slow
+def test_parity_all_drill(tmp_path):
+    """tools/parity_all.py offline drill (VERDICT r4 next #8): ONE command runs
+    the coco128 parity stage AND the CamVid stage (stubbed downloads, bench
+    skipped) and both tables land in PARITY.md — so on egress day the headline
+    numbers are `python tools/parity_all.py` away."""
+    import math
+    import sys
+    import zipfile
+    from pathlib import Path
+
+    import numpy as np
+    import yaml
+    torch = pytest.importorskip("torch")
+    cv2 = pytest.importorskip("cv2")
+    if not Path("/root/reference").exists():
+        pytest.skip("reference unavailable")
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_torch_parity import _reference_models, _torch_cfg, tiny_cfg
+
+    _, SegmentationModel = _reference_models()
+    torch.manual_seed(0)
+    cfg = tiny_cfg(True)
+    cfg["nc"] = 80
+    ref = SegmentationModel(_torch_cfg(cfg), ch=3, nc=80).float().eval()
+    cfg_path = tmp_path / "tiny-seg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    rng = np.random.default_rng(9)
+
+    def stub_downloader(url, dest):
+        dest = Path(dest)
+        if dest.suffix == ".pt":
+            torch.save({"model": ref}, dest)
+        elif "coco128" in dest.name:
+            ds = dest.parent / "coco128-seg"
+            (ds / "images/train2017").mkdir(parents=True)
+            (ds / "labels/train2017").mkdir(parents=True)
+            for i in range(2):
+                im = rng.integers(0, 255, (96, 96, 3), dtype="uint8")
+                cv2.imwrite(str(ds / f"images/train2017/{i}.jpg"), im)
+                (ds / f"labels/train2017/{i}.txt").write_text(
+                    "1 0.2 0.2 0.6 0.2 0.6 0.6 0.2 0.6\n")
+            with zipfile.ZipFile(dest, "w") as z:
+                for f in sorted(ds.rglob("*")):
+                    z.write(f, f.relative_to(dest.parent))
+            import shutil
+            shutil.rmtree(ds)
+        else:  # CamVid zip
+            root = dest.parent / "SegNet-Tutorial-master" / "CamVid"
+            for split, n in (("train", 4), ("val", 2)):
+                (root / split).mkdir(parents=True)
+                (root / f"{split}annot").mkdir(parents=True)
+                for i in range(n):
+                    img = np.zeros((64, 64, 3), np.uint8)
+                    mask = np.full((64, 64), 3, np.uint8)
+                    img[:28] = (90, 140, 230); mask[:28] = 0
+                    img[28:] = (95, 95, 95)
+                    img = np.clip(img.astype(np.int16)
+                                  + rng.integers(-15, 15, img.shape), 0, 255
+                                  ).astype(np.uint8)
+                    cv2.imwrite(str(root / split / f"{split}_{i:03d}.png"),
+                                img[..., ::-1])
+                    cv2.imwrite(str(root / f"{split}annot" / f"{split}_{i:03d}.png"),
+                                mask)
+            with zipfile.ZipFile(dest, "w") as z:
+                for f in sorted((dest.parent / "SegNet-Tutorial-master").rglob("*")):
+                    z.write(f, f.relative_to(dest.parent))
+            import shutil
+            shutil.rmtree(dest.parent / "SegNet-Tutorial-master")
+        return dest
+
+    from tools.parity_all import main
+    out_md = tmp_path / "PARITY.md"
+    fails = main(
+        ["--no-bench", "--no-reference"], downloader=stub_downloader,
+        coco_args=["--weights", str(tmp_path / "yolov5s-seg.pt"),
+                   "--dataset", str(tmp_path / "datasets" / "coco128-seg"),
+                   "--imgsz", "96", "--batch-size", "2",
+                   "--cfg", str(cfg_path), "--out", str(out_md)],
+        camvid_args=["--dataset", str(tmp_path / "datasets" / "CamVid"),
+                     "--epochs", "2", "--imgsz", "64", "--batch-size", "2",
+                     "--cfg", "resnet18.yaml",
+                     "--out-dir", str(tmp_path / "runs"), "--out", str(out_md)])
+    assert fails == 0
+    text = out_md.read_text()
+    assert "coco128-seg real-weights parity" in text
+    assert "CamVid real-data semantic parity" in text

@@ -71,8 +71,10 @@ def drain(loader, epochs: int = 1):
     for _ in range(epochs):
         for batch in loader:
             # device_aug batches ship raw tiles + geometry instead of a
-            # composed image (segment/train.py 'aug_tiles' contract)
-            n += batch["image" if "image" in batch else "aug_tiles"].shape[0]
+            # composed image (segment/train.py 'aug_tiles' contract);
+            # semantic device_preprocess batches ship raw frames
+            key = next(k for k in ("image", "aug_tiles", "image_raw") if k in batch)
+            n += batch[key].shape[0]
     return n / (time.perf_counter() - t0)
 
 
@@ -91,7 +93,14 @@ def main():
     ap.add_argument("--bs", type=int, default=16)
     ap.add_argument("--device-aug", action="store_true",
                     help="also measure the device_aug split pipeline")
+    ap.add_argument("--task", choices=["segment", "semantic", "classify"],
+                    default="segment")
     args = ap.parse_args()
+
+    if args.task == "semantic":
+        return main_semantic(args)
+    if args.task == "classify":
+        return main_classify(args)
 
     from yolo_dual_tpu.data import create_dataloader
     out = {}
@@ -165,3 +174,81 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+SEM_TRAIN_DEMAND = 136.0   # img/s, resnet50 semantic device step (BENCH_r04)
+
+
+def make_semantic_dataset(root: Path, n: int, w: int = 640, h: int = 480):
+    """CamVid-shaped (non-square) images + reference-format JSON dense masks."""
+    import json as _json
+
+    import cv2
+    img_dir, json_dir = root / "imgs", root / "jsons"
+    img_dir.mkdir(parents=True)
+    json_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        im = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        mask = rng.integers(0, 12, (h, w), dtype=np.uint8)
+        cv2.imwrite(str(img_dir / f"{i:05d}.jpg"), im)
+        (json_dir / f"{i:05d}.json").write_text(_json.dumps({
+            "filename": f"{i:05d}.jpg", "shape": [h, w], "dtype": "uint8",
+            "class_names": [], "mask_data": mask.flatten().astype(int).tolist()}))
+    return img_dir, json_dir
+
+
+def main_semantic(args):
+    """Semantic input side (VERDICT r4 next #3): host-everything vs the
+    device_preprocess split (host: decode + cached JSON parse; device:
+    resize-pad + hflip/brightness/contrast, kernels semantic_preprocess),
+    against the measured 129-142 img/s semantic device step."""
+    from yolo_dual_tpu.data import create_json_segment_dataloader
+    out = {}
+    with tempfile.TemporaryDirectory() as td:
+        img_dir, json_dir = make_semantic_dataset(Path(td), args.n)
+
+        for label, kw in (
+                ("host_all_aug", dict(augment=True)),
+                ("host_all_noaug", dict(augment=False)),
+                ("device_preprocess", dict(augment=True, device_preprocess=True))):
+            loader, _ = create_json_segment_dataloader(
+                str(img_dir), str(json_dir), args.imgsz, args.bs, **kw)
+            drain(loader)  # epoch 1 warms the .npy mask sidecar cache
+            out[f"sem_host_img_s[{label}]"] = round(drain(loader), 1)
+            out[f"sem_cores_to_feed[{label}]"] = int(
+                np.ceil(SEM_TRAIN_DEMAND / max(out[f"sem_host_img_s[{label}]"], 1e-9)))
+    out["sem_train_demand_img_s"] = SEM_TRAIN_DEMAND
+    print(json.dumps(out, indent=2))
+
+
+def make_classify_dataset(root: Path, n: int, w: int = 640, h: int = 480):
+    import cv2
+    rng = np.random.default_rng(0)
+    for ci in range(2):
+        d = root / "train" / f"class{ci}"
+        d.mkdir(parents=True)
+        for i in range(n // 2):
+            cv2.imwrite(str(d / f"{i:05d}.jpg"),
+                        rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+    return root / "train"
+
+
+def main_classify(args):
+    """Classification input side (VERDICT r4 next #9): RandomResizedCrop+
+    flip+jitter train path and CenterCrop val path (reference
+    utils/dataloaders.py:1162-1240), cold and RAM-cached."""
+    from yolo_dual_tpu.data.classify import create_classification_dataloader
+    imgsz = args.imgsz if args.imgsz != 640 else 224  # classify default size
+    out = {"imgsz": imgsz}
+    with tempfile.TemporaryDirectory() as td:
+        root = make_classify_dataset(Path(td), args.n)
+        for label, kw in (
+                ("train_aug", dict(augment=True)),
+                ("train_aug_ram_cache", dict(augment=True, cache="ram")),
+                ("val_centercrop", dict(augment=False))):
+            loader, _ = create_classification_dataloader(
+                str(root), imgsz, args.bs, shuffle=True, **kw)
+            drain(loader)  # warm (fills RAM cache when enabled)
+            out[f"cls_host_img_s[{label}]"] = round(drain(loader), 1)
+    print(json.dumps(out, indent=2))

@@ -115,12 +115,14 @@ class JSONSegmentDataset:
     """
 
     def __init__(self, img_dir, json_dir, img_size: int = 640, augment: bool = False,
-                 num_classes: int = 12, aug_params: Optional[dict] = None, seed: int = 0):
+                 num_classes: int = 12, aug_params: Optional[dict] = None, seed: int = 0,
+                 device_preprocess: bool = False):
         self.img_dir = Path(img_dir)
         self.json_dir = Path(json_dir)
         self.img_size = img_size
         self.augment = augment
         self.num_classes = num_classes
+        self.device_preprocess = device_preprocess
         self.rng = random.Random(seed)
         p = dict(hflip=0.5, vflip=0.0, degrees=10.0, rot_p=0.3, brightness=0.2,
                  contrast=0.2, blur_p=0.1, crop_p=0.3, crop_scale=0.8)
@@ -174,6 +176,20 @@ class JSONSegmentDataset:
         mask = _load_json_mask(json_path)
         if mask.shape[:2] != img.shape[:2]:
             mask = cv2.resize(mask, (img.shape[1], img.shape[0]), interpolation=cv2.INTER_NEAREST)
+        if self.device_preprocess:
+            # host does decode + mask parse ONLY; resize-pad (+hflip/
+            # brightness/contrast) run on device (kernels/preprocess.py
+            # semantic_preprocess) — the SURVEY §3.1 hot loop leaves the host.
+            # Native resolutions must be uniform per dataset for fixed-shape
+            # batches (CamVid: all 720x960).
+            p, rng = self.p, self.rng
+            mask = np.clip(mask, 0, self.num_classes - 1)
+            return {"image_raw": img, "mask_raw": mask.astype(np.int32),
+                    "flip": self.augment and rng.random() < p["hflip"],
+                    "bright": np.float32(1.0 + rng.uniform(-p["brightness"], p["brightness"])
+                                         if self.augment and p["brightness"] else 1.0),
+                    "contr": np.float32(1.0 + rng.uniform(-p["contrast"], p["contrast"])
+                                        if self.augment and p["contrast"] else 1.0)}
         if self.augment:
             img, mask = self._augment_pair(img, mask)
         img, mask, _ = resize_and_pad(img, mask, self.img_size)
@@ -187,10 +203,12 @@ class JSONSegmentDataset:
 
 def create_json_segment_dataloader(img_dir, json_dir, img_size=640, batch_size=16,
                                    augment=False, num_classes=12, workers=0,
-                                   shuffle=None, seed=0, drop_last=True):
+                                   shuffle=None, seed=0, drop_last=True,
+                                   device_preprocess=False):
     """Reference-compatible constructor (reference :355-378; drop_last=True)."""
     from yolo_dual_tpu.data.loader import Loader
-    ds = JSONSegmentDataset(img_dir, json_dir, img_size, augment, num_classes, seed=seed)
+    ds = JSONSegmentDataset(img_dir, json_dir, img_size, augment, num_classes,
+                            seed=seed, device_preprocess=device_preprocess)
     loader = Loader(ds, batch_size=batch_size,
                     shuffle=augment if shuffle is None else shuffle,
                     seed=seed, drop_last=drop_last)

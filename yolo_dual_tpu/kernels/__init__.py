@@ -3,4 +3,7 @@ from yolo_dual_tpu.kernels.dcn_sampling import (  # noqa: F401
     dcnv3_sampling,
     use_pallas,
 )
-from yolo_dual_tpu.kernels.preprocess import letterbox_normalize  # noqa: F401
+from yolo_dual_tpu.kernels.preprocess import (  # noqa: F401
+    letterbox_normalize,
+    semantic_preprocess,
+)

@@ -130,3 +130,56 @@ def letterbox_normalize_reference(images: np.ndarray, out_size: int = 640,
         resized = np.einsum("ow,hwc->hoc", cm, resized)
         out[i, top:top + nh, left:left + nw] = resized
     return out / 255.0
+
+
+def _nearest_indices(n_in: int, n_out: int) -> np.ndarray:
+    """cv2.INTER_NEAREST source indices for a n_in -> n_out resize."""
+    return np.clip(np.floor((np.arange(n_out) + 0.5) * (n_in / n_out)),
+                   0, n_in - 1).astype(np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("out_size", "fill", "interpret"))
+def semantic_preprocess(images: jnp.ndarray, masks: jnp.ndarray,
+                        out_size: int = 640, fill: float = 128.0,
+                        flip=None, bright=None, contr=None,
+                        interpret: bool = False):
+    """Device-side semantic input path: aspect-preserving resize + center pad
+    (+ optional per-sample hflip/brightness/contrast) for image AND dense
+    mask, replacing the host cv2/PIL loop of the reference's
+    JSONSegmentDataset (reference seg_diceloss_Resnet50.py:88-199 paired augs,
+    :332-351 _resize_and_pad; SURVEY §3.1 names that loop the known CPU
+    bottleneck). The image rides the same resize-as-matmul letterbox kernel
+    the serving/val paths use (gray-128 fill, reference semantics); the mask
+    is nearest-gathered and zero-filled (class 0), so labels stay crisp.
+
+    images: (b, H, W, 3) uint8 — every sample at its NATIVE resolution (the
+    loader ships raw frames; uniform shape per batch).
+    masks: (b, H, W) integer class ids.
+    flip/bright/contr: per-sample (b,) bool / f32 / f32 drawn by the host rng
+    (None = off). Flip applies to the PADDED canvas; with odd padding this
+    differs from the host path's flip-before-pad by a 1-px shift — an
+    augmentation, not a parity surface.
+
+    Returns (image f32 (b,S,S,3) in [0,1], mask (b,S,S) int32).
+    """
+    imgs = letterbox_normalize(images, out_size, fill=fill, interpret=interpret)
+    b, h, w = masks.shape
+    s = out_size
+    r = min(s / h, s / w)
+    nh, nw = int(round(h * r)), int(round(w * r))
+    top, left = (s - nh) // 2, (s - nw) // 2
+    ry, rx = jnp.asarray(_nearest_indices(h, nh)), jnp.asarray(_nearest_indices(w, nw))
+    m = masks[:, ry][:, :, rx].astype(jnp.int32)
+    canvas = jnp.zeros((b, s, s), jnp.int32)
+    canvas = jax.lax.dynamic_update_slice(canvas, m, (0, top, left))
+    if flip is not None:
+        imgs = jnp.where(flip[:, None, None, None], imgs[:, :, ::-1], imgs)
+        canvas = jnp.where(flip[:, None, None], canvas[:, :, ::-1], canvas)
+    if bright is not None:
+        imgs = imgs * bright[:, None, None, None]
+    if contr is not None:
+        mean = imgs.mean(axis=(1, 2, 3), keepdims=True)
+        imgs = (imgs - mean) * contr[:, None, None, None] + mean
+    if bright is not None or contr is not None:
+        imgs = jnp.clip(imgs, 0.0, 1.0)
+    return imgs, canvas
