@@ -108,3 +108,72 @@ def test_model_level_fused_bn_grads_match(rng):
     for a, b in zip(la, lb):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=5e-4, rtol=2e-3)
+
+
+def test_fused_bn_silu_matches_separate_f32(rng):
+    """_bn_silu (BN+SiLU folded into one VJP, recompute-in-backward) must
+    match silu(FusedBatchNorm(x)) in value AND gradients at f32 to float
+    tolerance — only the residual-stashing strategy differs."""
+    x = _data(rng)
+    sep = FusedBatchNorm(momentum=0.97, epsilon=1e-3, dtype=jnp.float32)
+    fold = FusedBatchNorm(momentum=0.97, epsilon=1e-3, dtype=jnp.float32,
+                          act_silu=True)
+    v = sep.init(jax.random.PRNGKey(0), x)
+    v["params"] = {"scale": jnp.asarray(rng.uniform(0.5, 2, 16), jnp.float32),
+                   "bias": jnp.asarray(rng.normal(0, 1, 16), jnp.float32)}
+
+    def f_sep(params, xx):
+        y, upd = sep.apply({"params": params, "batch_stats": v["batch_stats"]},
+                           xx, mutable=["batch_stats"])
+        y = y * jax.nn.sigmoid(y)
+        return (y * jnp.cos(y)).sum(), (y, upd)
+
+    def f_fold(params, xx):
+        y, upd = fold.apply({"params": params, "batch_stats": v["batch_stats"]},
+                            xx, mutable=["batch_stats"])
+        return (y * jnp.cos(y)).sum(), (y, upd)
+
+    (l1, (y1, u1)), g1 = jax.value_and_grad(f_sep, argnums=(0, 1), has_aux=True)(
+        v["params"], x)
+    (l2, (y2, u2)), g2 = jax.value_and_grad(f_fold, argnums=(0, 1), has_aux=True)(
+        v["params"], x)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(u2["batch_stats"]["mean"]),
+                               np.asarray(u1["batch_stats"]["mean"]), rtol=1e-6)
+
+
+def test_model_level_fused_bn_act_grads_match(rng):
+    """fused_bn_act=True through a real model: same loss and same grads as
+    fused_bn alone (f32), so the lever is a pure residual-strategy change."""
+    from yolo_dual_tpu.models.model import SegmentationModel
+    cfg = dict(
+        nc=3, depth_multiple=1.0, width_multiple=1.0,
+        anchors=[[10, 13, 16, 30, 33, 23], [30, 61, 62, 45, 59, 119],
+                 [116, 90, 156, 198, 373, 326]],
+        backbone=[[-1, 1, "Conv", [8, 6, 2, 2]], [-1, 1, "Conv", [16, 3, 2]],
+                  [-1, 1, "C3", [16]], [-1, 1, "Conv", [16, 3, 2]],
+                  [-1, 1, "Conv", [16, 3, 2]], [-1, 1, "SPPF", [16, 5]]],
+        head=[[[2, 3, 5], 1, "Segment", ["nc", "anchors", 4, 8]]],
+    )
+    x = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
+
+    def run(**kw):
+        m = SegmentationModel(cfg, fused_bn=True, **kw)
+        v = m.init(imgsz=64)
+
+        def loss(params):
+            (raw, protos), upd = m.module.apply(
+                {"params": params, "batch_stats": v["batch_stats"]}, x,
+                train=True, decode=False, mutable=["batch_stats"])
+            return sum(jnp.sum(r * jnp.sin(r)) for r in raw) + jnp.sum(protos ** 2)
+
+        return jax.value_and_grad(loss)(v["params"])
+
+    l1, g1 = run()
+    l2, g2 = run(fused_bn_act=True)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-3)

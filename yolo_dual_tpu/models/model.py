@@ -44,6 +44,7 @@ class GraphModel(nn.Module):
     fused: bool = False  # conv+BN folded variables (see BaseModel.fuse)
     blocked_stem: bool = False  # train-path s2d stem (nn/blocked_train.py)
     fused_bn: bool = False  # custom-VJP train BatchNorm (nn/common.py FusedBatchNorm)
+    fused_bn_act: bool = False  # fold trailing SiLU into the BN VJP (_bn_silu)
     # per-layer nn.remat in train (HBM-bound step: trade recompute for
     # activation bytes). True = every compute layer; a tuple of layer indices
     # = selective remat (e.g. only the large early-activation layers — the
@@ -60,7 +61,8 @@ class GraphModel(nn.Module):
         import jax.numpy as _jnp
         with ctx, fused_inference(self.fused), \
                 fused_bn_vjp(self.fused_bn and train,
-                             dtype=self.dtype or _jnp.float32):
+                             dtype=self.dtype or _jnp.float32,
+                             fold_act=self.fused_bn_act and train):
             return self._walk(x, train, decode)
 
     # Shape-only glue: remat would add optimization barriers for zero byte
@@ -170,7 +172,7 @@ class BaseModel:
     def __init__(self, cfg="yolov5s.yaml", ch: int = 3, nc: Optional[int] = None,
                  anchors=None, dtype: Dtype = None, verbose: bool = False,
                  blocked_stem: bool = False, fused_bn: bool = False,
-                 remat_layers: Any = False):
+                 fused_bn_act: bool = False, remat_layers: Any = False):
         self.yaml = _load_cfg(cfg)
         self.yaml_file = Path(cfg).name if isinstance(cfg, (str, Path)) else None
         spec = parse_config(self.yaml, ch=ch, nc=nc, anchors_override=anchors, verbose=verbose)
@@ -183,7 +185,8 @@ class BaseModel:
         from yolo_dual_tpu.nn import blocked as _blocked
         self.blocked_stem = bool(blocked_stem) and _blocked.eligible(spec)
         self.module = GraphModel(spec, dtype, blocked_stem=self.blocked_stem,
-                                 fused_bn=fused_bn, remat_layers=remat_layers)
+                                 fused_bn=fused_bn, fused_bn_act=fused_bn_act,
+                                 remat_layers=remat_layers)
         self.nc = spec.nc
         self.names = {i: str(i) for i in range(spec.nc)}
         self.stride = np.array(spec.strides or [32])

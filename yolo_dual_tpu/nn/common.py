@@ -56,7 +56,7 @@ def bn_config(eps: float, momentum: float):
         _BN_CTX.update(old)
 
 
-def batch_norm(train: bool, name: str = "bn", dtype=None):
+def batch_norm(train: bool, name: str = "bn", dtype=None, act_silu: bool = False):
     """BatchNorm with f32 running stats. `dtype` sets the NORMALIZE precision
     (flax computes batch statistics in f32 regardless — verified identical for
     dtype=f32/bf16). Callers deliberately do NOT pass bf16 here: measured on
@@ -70,25 +70,32 @@ def batch_norm(train: bool, name: str = "bn", dtype=None):
     if train and _BN_CTX.get("fused_vjp"):
         return FusedBatchNorm(momentum=_BN_CTX["momentum"], epsilon=_BN_CTX["eps"],
                               dtype=_BN_CTX.get("fused_dtype") or jnp.bfloat16,
-                              name=name)
+                              act_silu=act_silu, name=name)
     return nn.BatchNorm(use_running_average=not train, momentum=_BN_CTX["momentum"],
                         epsilon=_BN_CTX["eps"],
                         dtype=jnp.float32 if dtype is None else dtype, name=name)
 
 
 @contextlib.contextmanager
-def fused_bn_vjp(on: bool = True, dtype=None):
+def fused_bn_vjp(on: bool = True, dtype=None, fold_act=None):
     """Enable the custom-VJP train-mode BatchNorm for modules built inside.
     dtype=None keeps any normalize-dtype already set on the context (default
-    bf16), so callers/tests can pre-pin f32 for exact-parity checks."""
+    bf16), so callers/tests can pre-pin f32 for exact-parity checks.
+    fold_act=True additionally folds a trailing SiLU into the same custom
+    VJP (`_bn_silu`): the BN output is recomputed in the backward instead of
+    stashed, cutting one full activation tensor of HBM traffic per Conv
+    block (the r4 roofline's byte lever — the step is bandwidth-bound)."""
     old_on, old_dt = _BN_CTX.get("fused_vjp"), _BN_CTX.get("fused_dtype")
+    old_fa = _BN_CTX.get("fused_act")
     _BN_CTX["fused_vjp"] = on
     if dtype is not None:
         _BN_CTX["fused_dtype"] = dtype
+    if fold_act is not None:
+        _BN_CTX["fused_act"] = fold_act
     try:
         yield
     finally:
-        _BN_CTX.update(fused_vjp=old_on, fused_dtype=old_dt)
+        _BN_CTX.update(fused_vjp=old_on, fused_dtype=old_dt, fused_act=old_fa)
 
 
 @jax.custom_vjp
@@ -127,6 +134,44 @@ def _bn_norm_bwd(res, g):
 _bn_norm.defvjp(_bn_norm_fwd, _bn_norm_bwd)
 
 
+@jax.custom_vjp
+def _bn_silu(x, mean, rstd, scale, bias):
+    """silu(bn(x)) in one VJP: only x (+ per-channel stats) is stashed; the
+    BN output is recomputed in the backward. Under autodiff (or with separate
+    _bn_norm + silu) the pre-activation tensor is also saved for silu's
+    backward — a full extra activation of HBM write+read per Conv block."""
+    dt = x.dtype
+    y = ((x - mean.astype(dt)) * rstd.astype(dt)) * scale.astype(dt) + bias.astype(dt)
+    return y * jax.nn.sigmoid(y)
+
+
+def _bn_silu_fwd(x, mean, rstd, scale, bias):
+    return _bn_silu(x, mean, rstd, scale, bias), (x, mean, rstd, scale, bias)
+
+
+def _bn_silu_bwd(res, g):
+    """BN backward (closed form, as _bn_norm_bwd) chained through silu':
+    silu'(y) = s·(1 + y·(1−s)), s = σ(y), with y recomputed from x."""
+    x, mean, rstd, scale, bias = res
+    dt = x.dtype
+    f32 = jnp.float32
+    axes = tuple(range(x.ndim - 1))
+    n = jnp.float32(math.prod(x.shape[a] for a in axes) or 1)
+    xhat = (x - mean.astype(dt)) * rstd.astype(dt)
+    y = xhat * scale.astype(dt) + bias.astype(dt)
+    s = jax.nn.sigmoid(y)
+    gbn = g * (s * (1 + y * (1 - s)))
+    gsum = jnp.sum(gbn.astype(f32), axes)                     # == dbias
+    gxsum = jnp.sum((gbn * xhat).astype(f32), axes)           # == dscale
+    coef = (scale.astype(f32) * rstd.astype(f32)).astype(dt)
+    dx = coef * (gbn - (gsum / n).astype(dt) - xhat * (gxsum / n).astype(dt))
+    zeros_c = jnp.zeros_like(mean)
+    return dx, zeros_c, zeros_c, gxsum, gsum
+
+
+_bn_silu.defvjp(_bn_silu_fwd, _bn_silu_bwd)
+
+
 class FusedBatchNorm(nn.Module):
     """Train-mode BatchNorm, variable-compatible with flax nn.BatchNorm
     (params scale/bias, batch_stats mean/var — checkpoints, fuse() and torch
@@ -138,6 +183,7 @@ class FusedBatchNorm(nn.Module):
     momentum: float = 0.97
     epsilon: float = 1e-3
     dtype: Optional[Dtype] = jnp.bfloat16
+    act_silu: bool = False  # fold a trailing SiLU into the VJP (_bn_silu)
 
     @nn.compact
     def __call__(self, x):
@@ -158,8 +204,9 @@ class FusedBatchNorm(nn.Module):
             ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
         rstd = jax.lax.rsqrt(var + self.epsilon)
         dt = self.dtype or x.dtype
-        y = _bn_norm(x.astype(dt), jax.lax.stop_gradient(mean),
-                     jax.lax.stop_gradient(rstd), scale, bias)
+        norm = _bn_silu if self.act_silu else _bn_norm
+        y = norm(x.astype(dt), jax.lax.stop_gradient(mean),
+                 jax.lax.stop_gradient(rstd), scale, bias)
         return y.astype(x.dtype)
 
 
@@ -254,7 +301,12 @@ class Conv(nn.Module):
             name="conv",
         )(x)
         if self.bn and not fused:
-            x = batch_norm(train)(x).astype(x.dtype)
+            fold = (train and _BN_CTX.get("fused_vjp") and _BN_CTX.get("fused_act")
+                    and (self.act is True
+                         or (isinstance(self.act, str) and self.act.strip().lower() == "silu")))
+            x = batch_norm(train, act_silu=fold)(x).astype(x.dtype)
+            if fold:
+                return x
         return resolve_act(self.act)(x)
 
 
