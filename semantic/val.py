@@ -32,7 +32,8 @@ CLASS_NAMES = ["sky", "building", "pole", "road", "pavement", "tree", "signsymbo
 
 def run(weights="", cfg="resnet50.yaml", img_dir="", json_dir="", imgsz=640,
         batch_size=16, nc=12, ignore_index=11, loss="dice", visualize=False,
-        project="runs/val-semantic", name="exp", device="", data_parallel=False, **kw):
+        project="runs/val-semantic", name="exp", device="", data_parallel=False,
+        device_preprocess=False, **kw):
     import jax
     from yolo_dual_tpu.utils.general import select_device
     select_device(device)
@@ -49,7 +50,9 @@ def run(weights="", cfg="resnet50.yaml", img_dir="", json_dir="", imgsz=640,
         from yolo_dual_tpu.io.weights import resolve_variables
         variables = resolve_variables(model, weights, variables)
     loader, ds = create_json_segment_dataloader(img_dir, json_dir, imgsz, batch_size,
-                                                augment=False, num_classes=nc, drop_last=False)
+                                                augment=False, num_classes=nc,
+                                                drop_last=False,
+                                                device_preprocess=device_preprocess)
     loss_fn = SemanticSegLoss(nc, flavor=loss)
     (miou, vloss, _, _), per_cls, t = evaluate_semantic(
         model, variables, loader, nc, ignore_index=ignore_index, loss_fn=loss_fn,
@@ -61,6 +64,13 @@ def run(weights="", cfg="resnet50.yaml", img_dir="", json_dir="", imgsz=640,
         from yolo_dual_tpu.utils.plots import semantic_panel
         save_dir = increment_path(Path(project) / name, mkdir=True)
         batch = next(iter(loader))
+        if "image_raw" in batch:
+            from yolo_dual_tpu.kernels import semantic_preprocess
+            im, mk = semantic_preprocess(
+                jnp.asarray(batch["image_raw"]), jnp.asarray(batch["mask_raw"]),
+                out_size=imgsz, interpret=jax.default_backend() not in ("tpu", "axon"))
+            batch = {"image": (np.asarray(im) * 255).astype(np.uint8),
+                     "mask": np.asarray(mk)}
         out = model.apply(variables, normalize_image(jnp.asarray(batch["image"])), train=False)
         pred = np.asarray(out.argmax(-1))
         for i in range(min(4, len(pred))):
@@ -83,6 +93,8 @@ def parse_opt(argv=None):
     p.add_argument("--ignore-index", type=int, default=11)
     p.add_argument("--loss", choices=["dice", "jaccard", "ce"], default="dice")
     p.add_argument("--visualize", action="store_true")
+    p.add_argument("--device-preprocess", action="store_true",
+                   help="resize-pad on device (kernels semantic_preprocess)")
     p.add_argument("--project", default=str(ROOT / "runs" / "val-semantic"))
     p.add_argument("--name", default="exp")
     p.add_argument("--data-parallel", action="store_true",

@@ -288,6 +288,19 @@ def evaluate_semantic(model, variables, loader, nc: int, ignore_index: Optional[
     seen = 0
     dt = Profile()
     for batch in loader:
+        if "image_raw" in batch:
+            # device_preprocess loader: raw native-res frames; resize-pad runs
+            # on device (kernels semantic_preprocess; the train path's
+            # --device-preprocess, timed inside dt like the val letterbox)
+            from yolo_dual_tpu.kernels import semantic_preprocess
+            with dt:
+                im, mk = semantic_preprocess(
+                    jnp.asarray(batch["image_raw"]), jnp.asarray(batch["mask_raw"]),
+                    out_size=loader.dataset.img_size,
+                    interpret=jax.default_backend() not in ("tpu", "axon"))
+                jax.block_until_ready(im)
+            batch = dict(batch)
+            batch["image"], batch["mask"] = im, np.asarray(mk)
         if mesh is not None:
             image = shard_batch({"image": batch["image"]}, mesh)["image"]
         else:
