@@ -102,7 +102,7 @@ def bench_train(bs=16, imgsz=640, n1=2, n2=50):
                box=0.05, cls=0.5, obj=1.0, anchor_t=4.0, cls_pw=1.0, obj_pw=1.0, fl_gamma=0.0)
     # blocked_stem + fused_bn mirror segment/train.py's default train schedule
     model = SegmentationModel(CFG, dtype=jnp.bfloat16, blocked_stem=True,
-                              fused_bn=True)
+                              fused_bn=True, fused_bn_act=True)
     variables = model.init(imgsz=imgsz)
     head_kw = model.spec.layers[-1].kw()
     loss = ComputeSegmentLoss(head_kw["anchors"], head_kw["strides"], 80, 32, hyp,

@@ -110,7 +110,9 @@ def train(opt):
     dtype = {"bf16": jnp.bfloat16, "f32": None}[opt.dtype]
     model = SegmentationModel(find_cfg(opt.cfg, "segment", "models"), nc=int(data["nc"]),
                               dtype=dtype, blocked_stem=not opt.no_blocked_stem,
-                              fused_bn=getattr(opt, "fused_bn", True))
+                              fused_bn=getattr(opt, "fused_bn", True),
+                              fused_bn_act=getattr(opt, "fused_bn", True)
+                              and getattr(opt, "fused_bn_act", True))
     variables = model.init(imgsz=imgsz)
     if opt.weights:
         from yolo_dual_tpu.io import import_torch_state_dict, load_torch_checkpoint
@@ -154,7 +156,7 @@ def train(opt):
         task="segment", prefix=colorstr("val: "), single_cls=opt.single_cls)
 
     nb = len(train_loader)
-    accumulate = max(round(64 / opt.batch_size), 1)
+    accumulate = max(round(opt.nbs / opt.batch_size), 1)
     head_kw = model.spec.layers[-1].kw()
     nm = head_kw.get("nm", 32)
     loss_fn = ComputeSegmentLoss(head_kw["anchors"], head_kw["strides"], int(data["nc"]),
@@ -347,6 +349,12 @@ def parse_opt(argv=None):
     p.add_argument("--workers", type=int, default=0, help="accepted for parity (thread prefetch is used)")
     p.add_argument("--no-download", action="store_true",
                    help="refuse to execute the data yaml's download: hook")
+    p.add_argument("--nbs", type=int, default=64,
+                   help="nominal batch size for gradient accumulation "
+                        "(reference segment/train.py nbs=64)")
+    p.add_argument("--no-fused-bn-act", dest="fused_bn_act", action="store_false",
+                   help="disable the BN+act folded VJP (recompute-in-backward "
+                        "residual lever; +4.3%% train on v5e, tools/bench_bn_act.py)")
     p.add_argument("--no-fused-bn", dest="fused_bn", action="store_false",
                    help="disable the custom-VJP BatchNorm in the train step "
                         "(nn/common.py FusedBatchNorm; measured +14%% train "

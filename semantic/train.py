@@ -157,7 +157,7 @@ def train(opt):
                               class_weights=cw, flavor=opt.loss)
 
     nb = len(train_loader)
-    accumulate = max(round(64 / opt.batch_size), 1)
+    accumulate = max(round(opt.nbs / opt.batch_size), 1)
     tx = smart_optimizer(variables["params"], opt.optimizer, hyp, epochs=opt.epochs,
                          steps_per_epoch=nb, cos_lr=opt.cos_lr, accumulate=accumulate,
                          total_batch_size=opt.batch_size)
@@ -317,6 +317,11 @@ def parse_opt(argv=None):
                         "create_json_segment_dataloader augment flag)")
     p.add_argument("--no-ema", dest="ema", action="store_false",
                    help="train and evaluate raw weights (no EMA shadow)")
+    p.add_argument("--nbs", type=int, default=64,
+                   help="nominal batch size for gradient accumulation "
+                        "(reference nbs=64; accumulate=round(nbs/bs) — at "
+                        "bs=4 that is 16x fewer optimizer steps, see the "
+                        "golden-floor analysis in docs/PARITY.md)")
     p.add_argument("--device-preprocess", action="store_true",
                    help="host ships raw frames; resize-pad(+hflip/brightness/"
                         "contrast) run on device (kernels semantic_preprocess)")

@@ -117,7 +117,7 @@ def test_fused_bn_silu_matches_separate_f32(rng):
     x = _data(rng)
     sep = FusedBatchNorm(momentum=0.97, epsilon=1e-3, dtype=jnp.float32)
     fold = FusedBatchNorm(momentum=0.97, epsilon=1e-3, dtype=jnp.float32,
-                          act_silu=True)
+                          act_fold="silu")
     v = sep.init(jax.random.PRNGKey(0), x)
     v["params"] = {"scale": jnp.asarray(rng.uniform(0.5, 2, 16), jnp.float32),
                    "bias": jnp.asarray(rng.normal(0, 1, 16), jnp.float32)}
@@ -177,3 +177,32 @@ def test_model_level_fused_bn_act_grads_match(rng):
     np.testing.assert_allclose(float(l2), float(l1), rtol=1e-4)
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-3)
+
+
+def test_fused_bn_relu_matches_separate_f32(rng):
+    """_bn_relu (BN+ReLU folded, recompute-in-backward) == relu(bn(x)) in
+    value and grads at f32."""
+    x = _data(rng)
+    sep = FusedBatchNorm(momentum=0.97, epsilon=1e-3, dtype=jnp.float32)
+    fold = FusedBatchNorm(momentum=0.97, epsilon=1e-3, dtype=jnp.float32,
+                          act_fold="relu")
+    v = sep.init(jax.random.PRNGKey(0), x)
+    v["params"] = {"scale": jnp.asarray(rng.uniform(0.5, 2, 16), jnp.float32),
+                   "bias": jnp.asarray(rng.normal(0, 1, 16), jnp.float32)}
+
+    def f(mod, post):
+        def inner(params, xx):
+            y, upd = mod.apply({"params": params, "batch_stats": v["batch_stats"]},
+                               xx, mutable=["batch_stats"])
+            y = post(y)
+            return (y * jnp.cos(y)).sum(), y
+        return inner
+
+    (l1, y1), g1 = jax.value_and_grad(f(sep, lambda y: jnp.maximum(y, 0)),
+                                      argnums=(0, 1), has_aux=True)(v["params"], x)
+    (l2, y2), g2 = jax.value_and_grad(f(fold, lambda y: y),
+                                      argnums=(0, 1), has_aux=True)(v["params"], x)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=3e-4, atol=3e-4)

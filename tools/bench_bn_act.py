@@ -47,6 +47,45 @@ def _slope(run, n1=2, n2=30, repeats=4):
     return (t2 - t1) / (n2 - n1)
 
 
+def bench_semantic(bs=16, imgsz=640, fused_bn_act=False):
+    """Semantic flagship (resnet50 U-Net/softmax, ReLU zoo): the _bn_relu
+    fold variant of the same lever."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_dual_tpu.losses import SemanticSegLoss
+    from yolo_dual_tpu.models.model import SemanticSegModel
+    from yolo_dual_tpu.train import ModelEMA, Trainer, smart_optimizer
+
+    nc = 12
+    cfg = ROOT / "yolo_dual_tpu" / "configs" / "semantic" / "resnet50.yaml"
+    model = SemanticSegModel(cfg, nc=nc, dtype=jnp.bfloat16, fused_bn=True,
+                             fused_bn_act=fused_bn_act)
+    variables = model.init(imgsz=imgsz)
+    hyp = dict(lr0=0.01, lrf=0.01, momentum=0.937, weight_decay=5e-4, warmup_epochs=0.0)
+    tx = smart_optimizer(variables["params"], "SGD", hyp, epochs=1, steps_per_epoch=100)
+    tr = Trainer(model, SemanticSegLoss(nc, flavor="dice"), tx,
+                 ema=ModelEMA(), task="semantic")
+    state0 = tr.init_state(variables)
+    step = tr.make_train_step(donate=False)
+    rng = np.random.default_rng(0)
+    batch = {"image": jnp.asarray(rng.uniform(0, 255, (bs, imgsz, imgsz, 3)).astype(np.float32)),
+             "mask": jnp.asarray(rng.integers(0, nc, (bs, imgsz, imgsz)).astype(np.int32))}
+
+    @jax.jit
+    def loop(state, iters):
+        def body(i, carry):
+            state, acc = carry
+            b = dict(batch)
+            b["image"] = batch["image"] + i.astype(jnp.float32) * 1e-6
+            state, metrics = step(state, b)
+            return state, acc + metrics["loss"]
+        return jax.lax.fori_loop(0, iters, body, (state, jnp.zeros(())))[1]
+
+    per_iter = _slope(lambda n: loop(state0, n), n1=2, n2=20)
+    return per_iter * 1e3, bs / per_iter
+
+
 def bench(bs=16, imgsz=640, fused_bn_act=False):
     import jax
     import jax.numpy as jnp
@@ -105,10 +144,12 @@ def main():
     print(f"device: {jax.devices()[0]}  bs={bs} imgsz={imgsz}  "
           f"XLA_FLAGS={os.environ.get('XLA_FLAGS', '')!r}")
     out = {}
+    fn = bench_semantic if "--semantic" in sys.argv else bench
+    tag = "semantic " if "--semantic" in sys.argv else ""
     for fold in (False, True):
-        ms, ips = bench(bs, imgsz, fused_bn_act=fold)
-        out[f"fused_bn_act={fold}"] = round(ips, 1)
-        print(f"fused_bn_act={fold}: {ms:.2f} ms/iter = {ips:.1f} img/s", flush=True)
+        ms, ips = fn(bs, imgsz, fused_bn_act=fold)
+        out[f"{tag}fused_bn_act={fold}"] = round(ips, 1)
+        print(f"{tag}fused_bn_act={fold}: {ms:.2f} ms/iter = {ips:.1f} img/s", flush=True)
     print(json.dumps(out))
     if "--xla-pass" in sys.argv:
         # each candidate flag in a fresh process (flags bind at backend init)
