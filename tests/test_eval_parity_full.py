@@ -58,7 +58,7 @@ def _torchvision_nms(boxes, scores, iou_threshold):
     return torch.stack(keep)
 
 
-def _build_models(cfg=None, nc=NC, imgsz=IMGSZ, cls_bias=None):
+def _build_models(cfg=None, nc=NC, imgsz=IMGSZ, cls_bias=None, obj_gain=1.0):
     DetectionModel, SegmentationModel = _reference_models()
     sys.modules["torchvision"].ops.nms = _torchvision_nms
     torch.manual_seed(0)
@@ -76,17 +76,70 @@ def _build_models(cfg=None, nc=NC, imgsz=IMGSZ, cls_bias=None):
     # cls_bias: optional per-class (nc,) bias replacing the uniform +1.0 —
     # DISTINCT values break the nc-way multi-label near-ties so TPs dominate
     # the ranking and absolute AP is meaningful (the high-AP regime).
+    # obj_gain="auto" CALIBRATES the OBJ rows of the head conv weights: a
+    # random model's obj logits vary only by conv noise (and the deep stack's
+    # activation collapse shrinks that to ~1e-2), so every anchor's conf is a
+    # near-tie and no ranking can be meaningful. Scaling each level's obj
+    # weights so the logit std over a probe image is ~4 (then biasing the
+    # center to -4 so only the spread's outliers stay confident) spreads
+    # confidences across (0,1) and makes the gt-source detections genuinely
+    # top-ranked — the ingredient that turns absolute AP O(0.5+).
     with torch.no_grad():
         det = ref.model[-1]
+        if obj_gain == "auto":
+            # LSUV-style BN re-calibration: at random init the eval-mode BN
+            # chain (running stats = identity) lets activations COLLAPSE with
+            # depth — by the head the input is ~1e-6 and effectively
+            # input-independent, so obj logits are pure bias and no weight
+            # gain can create a meaningful confidence ranking (measured: the
+            # conv-output std is across-anchor BIAS variation; scaling the
+            # obj weights 31x changed nothing). Setting every BN's running
+            # stats from one probe forward (momentum=1, train-mode pass)
+            # normalizes each layer's output, reviving healthy O(1)
+            # input-dependent signal through the whole depth — what BN would
+            # do after the first real training steps.
+            for m in ref.modules():
+                if isinstance(m, torch.nn.BatchNorm2d):
+                    m.momentum = 1.0
+            ref.train()
+            ref(torch.rand(4, 3, imgsz, imgsz))
+            ref.eval()
         for mi in det.m:
             b = mi.bias.view(det.na, -1)
-            b[:, 4] += 3.0
+            # with healthy activations the obj bias goes NEGATIVE so only the
+            # signal's outliers stay confident (thins the det flood); the
+            # near-tie regime keeps the classic +3
+            b[:, 4] += 3.0 if obj_gain == 1.0 else -4.0
             if cls_bias is None:
                 b[:, 5:5 + nc] += 1.0
             else:
                 b[:, 5:5 + nc] += torch.as_tensor(cls_bias, dtype=b.dtype)
             b[:, 5 + nc:] += 2.0
             mi.bias.copy_(b.view(-1))
+        if obj_gain == "auto":
+            # scale each level's obj weights so the INPUT-DEPENDENT logit std
+            # (std of the output difference across two probe images — the
+            # across-anchor bias variation cancels) is ~4: confidences spread
+            # over (0,1) and the gt-source detections are genuinely top-ranked
+            outs = {}
+            hooks = []
+            for li, mi in enumerate(det.m):
+                def mk(li):
+                    def hook(mod, inp, out):
+                        bs, _, ny, nx = out.shape
+                        outs.setdefault(li, []).append(
+                            out.view(bs, det.na, -1, ny, nx)[:, :, 4].clone())
+                    return hook
+                hooks.append(mi.register_forward_hook(mk(li)))
+            ref(torch.rand(1, 3, imgsz, imgsz))
+            ref(torch.rand(1, 3, imgsz, imgsz))
+            for h in hooks:
+                h.remove()
+            for li, mi in enumerate(det.m):
+                std = (outs[li][0] - outs[li][1]).std().item()
+                gain = 4.0 / max(std, 1e-8)
+                w = mi.weight.view(det.na, -1, *mi.weight.shape[1:])
+                w[:, 4] *= gain
         # Prime the proto OUTPUT too: at real depth (yolov5s-seg @640) the
         # random-init proto branch collapses to ~1e-7 (eval-mode BN is
         # identity at init; the deep conv stack shrinks activations), so
@@ -287,21 +340,23 @@ def test_full_eval_parity_fullsize(tmp_path):
 
 @pytest.mark.slow
 def test_full_eval_parity_fullsize_highap(tmp_path):
-    """640px/nc80 parity in the HIGH-AP regime (VERDICT r4 next #6): distinct
-    per-class bias priming (linspace +2..-2 instead of the uniform +1.0)
-    breaks the nc-way multi-label near-ties, so each anchor cluster has one
-    clearly-dominant class, TPs dominate the confidence ranking, absolute AP
-    is O(0.5+), and the AP columns can be held to 5e-3 — AP agreement where
-    AP is meaningful. The uniform-bias test above keeps covering the near-tie
-    ordering regime; together they bracket production behavior."""
+    """640px/nc80 parity in the HIGH-AP regime (VERDICT r4 next #6): one
+    decisively-dominant class bias (+4 for class 0, −4 for the rest; a
+    linspace was tried first and FAILED — 4/79 bias spacing between adjacent
+    classes leaves the top classes near-tied and AP stays ~0.05) breaks the
+    nc-way multi-label ties, TPs dominate the confidence ranking, absolute
+    AP is O(0.5+), and the AP columns can be held to 5e-3 — AP agreement
+    where AP is meaningful. The uniform-bias test above keeps covering the
+    near-tie ordering regime; together they bracket production behavior."""
     import yaml
     cfg = yaml.safe_load(
         (Path(__file__).parents[1] / "yolo_dual_tpu" / "configs" / "segment"
          / "yolov5s-seg.yaml").read_text())
     imgsz, nc = 640, 80
-    cls_bias = np.linspace(2.0, -2.0, nc, dtype=np.float32)
+    cls_bias = np.full(nc, -4.0, dtype=np.float32)
+    cls_bias[0] = 4.0
     ref, ours, variables = _build_models(cfg=cfg, nc=nc, imgsz=imgsz,
-                                         cls_bias=cls_bias)
+                                         cls_bias=cls_bias, obj_gain="auto")
     img_dir = _make_dataset(tmp_path / "ds", ours, variables, n_imgs=4, imgsz=imgsz)
 
     ref_mean = _run_ref_eval(ref, img_dir, tmp_path / "ref_ha", nc, imgsz, 2, True)

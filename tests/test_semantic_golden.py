@@ -1,14 +1,28 @@
-"""Golden mIoU regression tests for ALL 7 semantic backbone configs
-(VERDICT r2 next-#5): each config trains a few epochs on a deterministic
-synthetic CamVid-style scene and must reach its recorded mIoU.
+"""Golden mIoU regression tests for the semantic backbone zoo: each config
+trains on a deterministic synthetic CamVid-style scene and must reach its
+recorded mIoU. Two regimes (r5 restructure, VERDICT r4 weak #1):
+
+CONTROLLED (all 9 configs, the strong regression tier): --nbs 4 (no gradient
+accumulation), --no-ema, --no-augment, 30 epochs — the regime in which
+tools/parity_semantic_dynamics.py proved our trainer tracks the LIVE
+reference trainer per-epoch to a 0.0002 final-mIoU gap (docs/PARITY.md), so
+every floor here is certified learning, most near 0.9+.
+
+RECIPE (two sentinel configs): the stock golden recipe (augment on, EMA on,
+default nbs=64). At bs=4 that recipe means accumulate=16 — only ~22 real
+optimizer steps in 60 epochs — and a still-ramping EMA; the r5 bisect
+(/tmp-run recorded in docs/PARITY.md) showed the low softmax-tier floors
+(0.11-0.23) are caused by THAT (noaug 0.159 / noema ~stock / nbs=4 recovers
+~0.9), not by the double-softmax architecture per se (its gradient squashing
+is real but transient: the reference's own trainer crosses to 0.92 by ~90
+real steps on this scene). The reference recipe has the same accumulation
+(seg_diceloss_Resnet50.py:999) and EMA, so these floors mirror the recipe
+faithfully; they stay as recipe sentinels.
 
 The dataset is generated deterministically (seeded) instead of committing
 binaries: 3-class scenes (sky band / road band / car rectangle, CamVid ids
 0/3/8) with color-coded regions + noise, so a learnable color->class mapping
-exists and a few epochs suffice. The reference's semantic recipe is the
-standalone trainer family (reference unet-lite/*/seg_diceloss_*.py,
-yolov8/seg_jaccardloss_yolov8.py); goldens were recorded on this harness at
-96px/6 epochs and are asserted with slack for platform jitter.
+exists and a few epochs suffice.
 """
 
 import json
@@ -23,26 +37,26 @@ cv2 = pytest.importorskip("cv2")
 ROOT = Path(__file__).parents[1]
 sys.path.insert(0, str(ROOT / "semantic"))
 
-# RECORDED on the CPU test mesh, 2026-08-21 full run of
-# tools/record_semantic_goldens.py (VERDICT r3 next-#2c: values measured, not
-# assumed); assert >= golden - slack.
-#
-# The two tiers are real, not noise: resnet18/34 use this framework's shared
-# SegmentHead (logits out) and learn fast; the other five FAITHFULLY mirror
-# the reference yamls' trailing nn.Softmax (reference
-# unet-lite/Resnet50/resnet50.yaml:44), whose probabilities then feed a loss
-# that applies log-softmax AGAIN (reference seg_diceloss_Resnet50.py:755-770
-# CrossEntropyLoss on softmax output) — the reference's own double-softmax
-# quirk squashes gradients, so those configs converge far slower at equal
-# steps. Regression floors reflect each config's actual 60-epoch trajectory.
+# RECIPE sentinels — RECORDED 2026-08-21 (r4 full recording; resnet50
+# re-reproduced 0.1721 by the r5 bisect stock run): assert >= golden - slack.
 GOLDENS = {
-    "resnet18.yaml": 0.9464,
-    "resnet34.yaml": 0.9457,
-    "resnet50.yaml": 0.1754,
-    "vgg16.yaml": 0.2127,
-    "yolov5_seg.yaml": 0.1099,
-    "yolov8_seg.yaml": 0.2129,
-    "yolov9_seg.yaml": 0.2250,
+    "resnet18.yaml": 0.9464,   # logits-out SegmentHead: fast even at 22 steps
+    "resnet50.yaml": 0.1754,   # softmax tier under accumulate=16 + EMA ramp
+}
+
+# CONTROLLED regime — RECORDED 2026-08-21 by
+# `python tools/record_semantic_goldens.py --controlled` (30 epochs, nbs=4,
+# no EMA, no augment; 180 real optimizer steps).
+GOLDENS_CONTROLLED = {
+    "resnet18.yaml": 0.9989,
+    "resnet18_unet.yaml": 0.9949,
+    "resnet34.yaml": 0.9989,
+    "resnet34_unet.yaml": 0.9724,
+    "resnet50.yaml": 0.9137,
+    "vgg16.yaml": 0.9623,
+    "yolov5_seg.yaml": 0.9458,
+    "yolov8_seg.yaml": 0.9718,
+    "yolov9_seg.yaml": 0.9424,
 }
 SLACK = 0.05
 
@@ -60,10 +74,11 @@ def camvid_scene(tmp_path_factory):
     return make_camvid_scene(tmp_path_factory.mktemp("camvid"))
 
 
-def _run_config(cfg, img_dir, json_dir, out_dir, epochs=60):
+def _run_config(cfg, img_dir, json_dir, out_dir, epochs=60, extra=()):
     """The sanity-train recipe (tools/sanity_train_semantic.py: lr0=0.05,
-    short warmup, ~120 steps) — the scratch-seg defaults (lr0=0.01, 3 warmup
-    epochs) barely move in this many steps."""
+    short warmup) — the scratch-seg defaults (lr0=0.01, 3 warmup epochs)
+    barely move in this many steps. `extra` selects the regime (e.g. the
+    controlled tier's --nbs 4 --no-ema --no-augment)."""
     import importlib.util
 
     import yaml
@@ -83,9 +98,13 @@ def _run_config(cfg, img_dir, json_dir, out_dir, epochs=60):
         "--cfg", cfg, "--img-dir", str(img_dir), "--json-dir", str(json_dir),
         "--imgsz", "96", "--batch-size", "4", "--epochs", str(epochs),
         "--hyp", str(hyp_path),
-        "--loss", "dice", "--project", str(out_dir), "--name", cfg.split(".")[0],
-        "--seed", "3"])
+        "--loss", "dice", "--project", str(out_dir), "--name",
+        cfg.split(".")[0] + ("_ctl" if extra else ""),
+        "--seed", "3"] + list(extra))
     return mod.train(opt)
+
+
+CONTROLLED_ARGS = ("--nbs", "4", "--no-ema", "--no-augment")
 
 
 @pytest.mark.slow
@@ -94,3 +113,18 @@ def test_semantic_golden(cfg, camvid_scene, tmp_path):
     img_dir, json_dir = camvid_scene
     miou = _run_config(cfg, img_dir, json_dir, tmp_path)
     assert miou >= GOLDENS[cfg] - SLACK, f"{cfg}: mIoU {miou:.4f} below golden"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("cfg", sorted(GOLDENS_CONTROLLED))
+def test_semantic_golden_controlled(cfg, camvid_scene, tmp_path):
+    """The strong tier: 180 real optimizer steps (no accumulation), raw
+    weights, no augment — the regime certified against the live reference
+    trainer (docs/PARITY.md dynamics table). Floors near 0.9+ make these
+    sensitive regression tests for every semantic config incl. the two
+    yaml-faithful *_unet decoders."""
+    img_dir, json_dir = camvid_scene
+    miou = _run_config(cfg, img_dir, json_dir, tmp_path, epochs=30,
+                       extra=CONTROLLED_ARGS)
+    assert miou >= GOLDENS_CONTROLLED[cfg] - SLACK, \
+        f"{cfg}: controlled mIoU {miou:.4f} below golden"

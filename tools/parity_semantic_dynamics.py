@@ -23,10 +23,24 @@ Reference-side control: model.img_size is set to the run size (the class
 hardcodes [640,640] and would otherwise bilinear-resize every output to 640,
 reference seg_diceloss_Resnet50.py:556,707-708).
 
-Families: resnet50, vgg16, yolov9 — three of the five softmax configs, from
-three distinct module zoos. yolov5/yolov8 are excluded because their
-backbones need torchvision.ops.DeformConv2d and torchvision is not in this
-image (the reference cannot run them here either).
+Families: resnet18 (logits-path control), resnet50, vgg16, yolov9.
+yolov5/yolov8 are excluded because their backbones need
+torchvision.ops.DeformConv2d and torchvision is not in this image (the
+reference cannot run them here either).
+
+MEASURED OUTCOME (2026-08-21, docs/PARITY.md): the two families whose
+reference trainers can actually run track ours per-epoch — resnet50 final
+mIoU gap 0.0002, resnet18 gap 0.0007. The other two CANNOT run because of
+defects in the reference itself (ours-only trajectories recorded):
+ - vgg16: beyond the val_diceloss import (stubbed below), its yaml's
+   backbone rows use vgg16_bn1..5 (the torchvision-split wrappers from
+   models/common.py) which seg_diceloss_vgg16.py's own parser does not
+   implement -> NotImplementedError at build (seg_diceloss_vgg16.py:608).
+ - yolov9: the yaml row `[-1, 1, GAM, [512]]` is parsed as `GAM(c1, *args)`
+   = GAM(512, k=512) (seg_diceloss_yolov9.py:633, GAM signature :477), i.e.
+   the channel count lands in the KERNEL-SIZE slot -> Conv(512,128,k=512)
+   tries to allocate a 68.7 GB weight and the build OOMs. The reference's
+   yolov9 trainer cannot construct its own config.
 
 Run (one family; ~10-30 min each on 1 CPU core):
     python tools/parity_semantic_dynamics.py --family resnet50 --epochs 60
@@ -155,7 +169,14 @@ def batch_orders(n: int, bs: int, epochs: int):
 
 
 def run_reference(family, imgs, masks, epochs, bs, eval_every):
+    import resource
+
     import torch
+    # cap the address space: the yolov9 reference build tries a 68.7 GB conv
+    # weight (GAM kernel-size defect, module docstring) — without a cap the
+    # kernel OOM-kills the process instead of raising a catchable error
+    resource.setrlimit(resource.RLIMIT_AS,
+                       (32 * 1024 ** 3, resource.RLIM_INFINITY))
     torch.manual_seed(0)
     torch.set_num_threads(max(os.cpu_count() or 1, 1))
     mod = load_reference_module(family)
@@ -248,14 +269,25 @@ def run_family(family, epochs, bs, size, n, eval_every):
     ours = run_ours(family, imgs, masks, epochs, bs, eval_every)
     t_ours = time.time() - t0
     t0 = time.time()
-    ref = run_reference(family, imgs, masks, epochs, bs, eval_every)
+    try:
+        ref = run_reference(family, imgs, masks, epochs, bs, eval_every)
+        ref_error = None
+    except (NotImplementedError, RuntimeError, MemoryError) as e:
+        # reference-defect family (vgg16 / yolov9, see module docstring):
+        # record ours-only + the defect instead of dying
+        ref = {"loss": [], "miou": {}}
+        ref_error = f"{type(e).__name__}: {str(e)[:300]}"
+        print(f"  [ref {family}] CANNOT RUN (reference defect): {ref_error}",
+              flush=True)
     t_ref = time.time() - t0
     final_ep = epochs
+    final = {"our_miou": ours["miou"][final_ep]}
+    if ref_error is None:
+        final.update(ref_miou=ref["miou"][final_ep],
+                     gap=ours["miou"][final_ep] - ref["miou"][final_ep])
     res = {
         "family": family, "epochs": epochs, "imgsz": size, "bs": bs,
-        "ref": ref, "ours": ours,
-        "final": {"ref_miou": ref["miou"][final_ep], "our_miou": ours["miou"][final_ep],
-                  "gap": ours["miou"][final_ep] - ref["miou"][final_ep]},
+        "ref": ref, "ours": ours, "ref_error": ref_error, "final": final,
         "wall_s": {"ref": round(t_ref, 1), "ours": round(t_ours, 1)},
     }
     return res
@@ -266,13 +298,18 @@ def table(results):
              "|---|---|---|---|---|---|"]
     for r in results:
         rm, om = r["ref"]["miou"], r["ours"]["miou"]
-        for ep in sorted(int(k) for k in rm):
+        for ep in sorted(int(k) for k in (rm or om)):
             rv = rm.get(ep, rm.get(str(ep)))
             ov = om.get(ep, om.get(str(ep)))
+            rl = f"{r['ref']['loss'][ep - 1]:.4f}" if r["ref"]["loss"] else "—"
+            rv_s = f"{rv:.4f}" if rv is not None else "—"
             lines.append(
-                f"| {r['family']} | {ep} | {r['ref']['loss'][ep - 1]:.4f} "
+                f"| {r['family']} | {ep} | {rl} "
                 f"| {r['ours']['loss'][ep - 1]:.4f} "
-                f"| {rv:.4f} | {ov:.4f} |")
+                f"| {rv_s} | {ov:.4f} |")
+        if r.get("ref_error"):
+            lines.append(f"| {r['family']} | — | REFERENCE DEFECT: "
+                         f"{r['ref_error']} | | | |")
     return "\n".join(lines)
 
 
