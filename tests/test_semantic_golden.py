@@ -6,7 +6,11 @@ CONTROLLED (all 9 configs, the strong regression tier): --nbs 4 (no gradient
 accumulation), --no-ema, --no-augment, 30 epochs — the regime in which
 tools/parity_semantic_dynamics.py proved our trainer tracks the LIVE
 reference trainer per-epoch to a 0.0002 final-mIoU gap (docs/PARITY.md), so
-every floor here is certified learning, most near 0.9+.
+every floor is certified learning. The ResNet/VGG families reach 0.72-0.99;
+the softmax YOLO families plateau at 0.28-0.35 even without accumulation
+(consistent with the 60-epoch dynamics trajectories: yolov9 plateaus at
+0.316 — the double-softmax tax is real for the C3k2/C2f zoos, just not the
+whole story the r4 floors implied).
 
 RECIPE (two sentinel configs): the stock golden recipe (augment on, EMA on,
 default nbs=64). At bs=4 that recipe means accumulate=16 — only ~22 real
@@ -48,15 +52,15 @@ GOLDENS = {
 # `python tools/record_semantic_goldens.py --controlled` (30 epochs, nbs=4,
 # no EMA, no augment; 180 real optimizer steps).
 GOLDENS_CONTROLLED = {
-    "resnet18.yaml": 0.9989,
-    "resnet18_unet.yaml": 0.9949,
-    "resnet34.yaml": 0.9989,
-    "resnet34_unet.yaml": 0.9724,
-    "resnet50.yaml": 0.9137,
-    "vgg16.yaml": 0.9623,
-    "yolov5_seg.yaml": 0.9458,
-    "yolov8_seg.yaml": 0.9718,
-    "yolov9_seg.yaml": 0.9424,
+    "resnet18.yaml": 0.9906,
+    "resnet18_unet.yaml": 0.4603,   # yaml-faithful softmax decoders converge
+    "resnet34.yaml": 0.9903,
+    "resnet34_unet.yaml": 0.5524,   # slower; floors are their 30-ep values
+    "resnet50.yaml": 0.9285,
+    "vgg16.yaml": 0.7218,
+    "yolov5_seg.yaml": 0.2830,
+    "yolov8_seg.yaml": 0.3510,
+    "yolov9_seg.yaml": 0.3148,      # ~= its 60-ep dynamics plateau (0.3158)
 }
 SLACK = 0.05
 
@@ -120,9 +124,9 @@ def test_semantic_golden(cfg, camvid_scene, tmp_path):
 def test_semantic_golden_controlled(cfg, camvid_scene, tmp_path):
     """The strong tier: 180 real optimizer steps (no accumulation), raw
     weights, no augment — the regime certified against the live reference
-    trainer (docs/PARITY.md dynamics table). Floors near 0.9+ make these
-    sensitive regression tests for every semantic config incl. the two
-    yaml-faithful *_unet decoders."""
+    trainer (docs/PARITY.md dynamics table). Floors are the recorded 30-epoch
+    values for every semantic config incl. the two yaml-faithful *_unet
+    decoders; 2-7x the recipe floors for the softmax families."""
     img_dir, json_dir = camvid_scene
     miou = _run_config(cfg, img_dir, json_dir, tmp_path, epochs=30,
                        extra=CONTROLLED_ARGS)
